@@ -1,0 +1,28 @@
+"""ipx_tpu — TPU-native interior-point LP solver.
+
+A brand-new JAX/XLA/Pallas implementation with the capabilities of the
+ERGO-Code/ipx reference solver: a primal-dual Mehrotra predictor-corrector
+interior-point method whose Newton/KKT step is solved by preconditioned
+Conjugate Residuals on the normal equations AI*W*AI', with a diagonal
+(+ dense-column SMW) preconditioner in early iterations and a basis-matrix
+preconditioner (sparse LU + Forrest-Tomlin updates) in the main iterations,
+followed by crossover to an optimal vertex basis.
+
+Public API mirrors the reference LpSolver (reference: src/lp_solver.h:19-190)
+plus a flat C-API-style function set in ipx_tpu.capi.
+"""
+from .info import Info
+from .lp_solver import LpSolver
+from .parameters import Parameters
+from .status import (Errflag, SolveStatus, Status,
+                     IPX_BASIC, IPX_NONBASIC, IPX_NONBASIC_LB,
+                     IPX_NONBASIC_UB, IPX_SUPERBASIC)
+from .user_model import BasicSolution, InteriorSolution
+from .version import __version__
+
+__all__ = [
+    "LpSolver", "Parameters", "Info", "Status", "SolveStatus", "Errflag",
+    "BasicSolution", "InteriorSolution", "__version__",
+    "IPX_BASIC", "IPX_NONBASIC", "IPX_NONBASIC_LB", "IPX_NONBASIC_UB",
+    "IPX_SUPERBASIC",
+]

@@ -1,0 +1,61 @@
+"""Abstract KKT solver interface.
+
+Solves systems with the KKT matrix
+
+    [ G   AI' ] (x) = (a)
+    [ AI   0  ] (y)   (b)
+
+where G is a positive semidefinite diagonal built from the IPM iterate. An
+iterative implementation must return a solution with residual (res) in the
+first block satisfying infnorm(D*res) <= tol with D = sqrt(1/G)
+(reference: src/kkt_solver.h:11-68).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..info import Info
+
+
+class KKTSolver:
+    def factorize(self, iterate, info: Info) -> None:
+        """Prepare preconditioner / factorization from the iterate. May be
+        called with iterate=None, meaning G = identity."""
+        self._factorize(iterate, info)
+
+    def solve(self, a: np.ndarray, b: np.ndarray, tol: float,
+              info: Info):
+        """Returns (x, y) solving the KKT system to tolerance tol."""
+        return self._solve(a, b, tol, info)
+
+    @property
+    def iter(self) -> int:
+        """Linear solver iterations in all solve() calls since the last
+        factorize()."""
+        return self._iter()
+
+    @property
+    def basis_changes(self) -> int:
+        return self._basis_changes()
+
+    @property
+    def basis(self):
+        return self._basis()
+
+    # -- implementation hooks -----------------------------------------
+    def _factorize(self, iterate, info: Info) -> None:
+        raise NotImplementedError
+
+    def _solve(self, a, b, tol, info):
+        raise NotImplementedError
+
+    def _iter(self) -> int:
+        raise NotImplementedError
+
+    def _basis_changes(self) -> int:
+        return 0
+
+    def _basis(self):
+        return None
