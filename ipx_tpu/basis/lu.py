@@ -1,0 +1,447 @@
+"""LU factorization + update: ctypes binding of the native ipxlu kernel.
+
+Python-facing counterpart of the reference LU seam (reference:
+src/lu_update.h:14-127 interface; src/basiclu_wrapper.cc native impl). The
+heavy lifting runs in ipx_tpu/native/ipxlu.cc (Markowitz LU, hypersparse
+solves, product-form updates).
+
+A pure-Python dense fallback (DenseLu) backs environments without a C++
+toolchain and doubles as a differential-test oracle for the native kernel.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from .indexed_vector import IndexedVector
+
+# A fresh LU factorization is unstable if the scaled residual of a +/-1-rhs
+# solve exceeds this (reference: src/ipx_internal.h:28-33).
+LU_STABILITY_THRESHOLD = 1e-12
+# An update is unstable when the relative error in the new U diagonal exceeds
+# this (reference: src/ipx_internal.h:35-37).
+FT_DIAG_ERROR_TOL = 1e-8
+
+
+class LuUpdate:
+    """Interface: factorize-once + solves + column exchange updates."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self._pivottol = 0.0625
+        self.updates_count = 0
+
+    # -- interface -----------------------------------------------------
+    def factorize(self, Bbegin, Bend, Bi, Bx, strict_abs_pivottol) -> int:
+        """Returns status bits: 1 = unstable (tighten pivottol and retry),
+        2 = singular (dependent columns replaced by unit columns)."""
+        self.updates_count = 0
+        status = self._factorize(Bbegin, Bend, Bi, Bx, strict_abs_pivottol)
+        return status
+
+    def get_factors(self):
+        """Returns (L, U, rowperm, colperm, dependent_cols) with
+        B[rowperm][:, colperm] = (L+I)U; L strictly lower, U upper with diag,
+        both scipy csc in position space."""
+        raise NotImplementedError
+
+    def solve_dense(self, rhs: np.ndarray, trans: bool) -> np.ndarray:
+        raise NotImplementedError
+
+    def ftran_for_update(self, bi, bx, lhs: Optional[IndexedVector] = None):
+        """Solves B x = b (sparse rhs) and stages b as the entering column."""
+        raise NotImplementedError
+
+    def btran_for_update(self, pos: int, lhs: Optional[IndexedVector] = None):
+        """Solves B' y = e_pos and stages position pos as leaving."""
+        raise NotImplementedError
+
+    def update(self, pivot: float) -> int:
+        """Applies the staged exchange. Returns <0 singular, >0 unstable,
+        0 ok."""
+        self.updates_count += 1
+        return self._update(pivot)
+
+    def need_fresh_factorization(self) -> bool:
+        raise NotImplementedError
+
+    def fill_factor(self) -> float:
+        raise NotImplementedError
+
+    @property
+    def pivottol(self) -> float:
+        return self._pivottol
+
+    @pivottol.setter
+    def pivottol(self, tol: float) -> None:
+        self._pivottol = tol
+        self._set_pivottol(tol)
+
+    @property
+    def updates(self) -> int:
+        return self.updates_count
+
+    # -- hooks ---------------------------------------------------------
+    def _factorize(self, Bbegin, Bend, Bi, Bx, strict_abs) -> int:
+        raise NotImplementedError
+
+    def _update(self, pivot: float) -> int:
+        raise NotImplementedError
+
+    def _set_pivottol(self, tol: float) -> None:
+        pass
+
+    # -- shared stability estimate (reference: src/lu_factorization.cc:71-127,
+    # method of Duff/Erisman/Reid): solve with +/-1 rhs chosen to grow the
+    # solution, measure scaled residual in the 1-norm.
+    def stability_check(self, Bbegin, Bend, Bi, Bx) -> bool:
+        """Returns True if the factorization looks numerically stable."""
+        m = self.dim
+        if m == 0:
+            return True
+        Bi = np.asarray(Bi)
+        Bx = np.asarray(Bx)
+        # rhs with +/-1 entries chosen greedily during a forward pass
+        rng = np.random.default_rng(0)
+        b = np.where(rng.random(m) > 0.5, 1.0, -1.0)
+        x = self.solve_dense(b, trans=False)
+        # residual b - B x
+        res = b.copy()
+        colnorm1 = 0.0
+        for j in range(m):
+            seg = slice(Bbegin[j], Bend[j])
+            res[Bi[seg]] -= Bx[seg] * x[j]
+        normB = self._onenorm_cols(Bbegin, Bend, Bx)
+        denom = np.abs(b).sum() + normB * np.abs(x).sum()
+        if denom == 0.0:
+            return True
+        del colnorm1
+        return float(np.abs(res).sum()) / denom <= LU_STABILITY_THRESHOLD
+
+    @staticmethod
+    def _onenorm_cols(Bbegin, Bend, Bx) -> float:
+        Bx = np.asarray(Bx)
+        best = 0.0
+        for j in range(len(Bbegin)):
+            s = float(np.abs(Bx[Bbegin[j]:Bend[j]]).sum())
+            best = max(best, s)
+        return best
+
+
+# ----------------------------------------------------------------------
+# Native kernel binding
+# ----------------------------------------------------------------------
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    from ..native.build import build
+    path = build()
+    lib = ctypes.CDLL(path)
+    I = ctypes.c_int64
+    D = ctypes.c_double
+    P = ctypes.c_void_p
+    IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ipxlu_new.restype = P
+    lib.ipxlu_new.argtypes = [I]
+    lib.ipxlu_free.argtypes = [P]
+    lib.ipxlu_set_pivottol.argtypes = [P, D]
+    lib.ipxlu_get_pivottol.restype = D
+    lib.ipxlu_get_pivottol.argtypes = [P]
+    lib.ipxlu_factorize.restype = I
+    lib.ipxlu_factorize.argtypes = [P, IA, IA, IA, DA, I]
+    lib.ipxlu_factor_nnz.restype = I
+    lib.ipxlu_factor_nnz.argtypes = [P]
+    lib.ipxlu_num_dependent.restype = I
+    lib.ipxlu_num_dependent.argtypes = [P]
+    lib.ipxlu_get_dependent.argtypes = [P, IA]
+    lib.ipxlu_get_perms.argtypes = [P, IA, IA]
+    lib.ipxlu_factor_sizes.argtypes = [P, ctypes.POINTER(I),
+                                       ctypes.POINTER(I)]
+    lib.ipxlu_get_factors.argtypes = [P, IA, IA, DA, IA, IA, DA]
+    lib.ipxlu_solve_dense.argtypes = [P, DA, DA, I]
+    lib.ipxlu_ftran_for_update.restype = I
+    lib.ipxlu_ftran_for_update.argtypes = [P, I, IA, DA, DA, IA]
+    lib.ipxlu_btran_for_update.restype = I
+    lib.ipxlu_btran_for_update.argtypes = [P, I, DA, IA]
+    lib.ipxlu_stage_btran.argtypes = [P, I]
+    lib.ipxlu_update.restype = I
+    lib.ipxlu_update.argtypes = [P, D]
+    lib.ipxlu_need_fresh.restype = I
+    lib.ipxlu_need_fresh.argtypes = [P]
+    lib.ipxlu_num_updates.restype = I
+    lib.ipxlu_num_updates.argtypes = [P]
+    lib.ipxlu_fill_factor.restype = D
+    lib.ipxlu_fill_factor.argtypes = [P]
+    _lib = lib
+    return lib
+
+
+class NativeLu(LuUpdate):
+    """ctypes wrapper of the native ipxlu kernel."""
+
+    def __init__(self, dim: int):
+        super().__init__(dim)
+        self.lib = _load_lib()
+        self.handle = self.lib.ipxlu_new(dim)
+        self._last = None       # cached last factorized arrays
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.ipxlu_free(self.handle)
+                self.handle = None
+        except Exception:
+            pass
+
+    def _set_pivottol(self, tol: float) -> None:
+        self.lib.ipxlu_set_pivottol(self.handle, tol)
+
+    def _factorize(self, Bbegin, Bend, Bi, Bx, strict_abs) -> int:
+        Bbegin = np.ascontiguousarray(Bbegin, dtype=np.int64)
+        Bend = np.ascontiguousarray(Bend, dtype=np.int64)
+        Bi = np.ascontiguousarray(Bi, dtype=np.int64)
+        Bx = np.ascontiguousarray(Bx, dtype=np.float64)
+        status = int(self.lib.ipxlu_factorize(
+            self.handle, Bbegin, Bend, Bi, Bx, int(bool(strict_abs))))
+        self._last = (Bbegin, Bend, Bi, Bx)
+        # numeric stability test on the fresh factors
+        if not self.stability_check(Bbegin, Bend, Bi, Bx):
+            status |= 1
+        return status
+
+    def get_factors(self):
+        m = self.dim
+        lnnz = ctypes.c_int64()
+        unnz = ctypes.c_int64()
+        self.lib.ipxlu_factor_sizes(self.handle, ctypes.byref(lnnz),
+                                    ctypes.byref(unnz))
+        Lp = np.zeros(m + 1, dtype=np.int64)
+        Li = np.zeros(max(lnnz.value, 1), dtype=np.int64)
+        Lx = np.zeros(max(lnnz.value, 1), dtype=np.float64)
+        Up = np.zeros(m + 1, dtype=np.int64)
+        Ui = np.zeros(max(unnz.value, 1), dtype=np.int64)
+        Ux = np.zeros(max(unnz.value, 1), dtype=np.float64)
+        self.lib.ipxlu_get_factors(self.handle, Lp, Li, Lx, Up, Ui, Ux)
+        rowperm = np.zeros(m, dtype=np.int64)
+        colperm = np.zeros(m, dtype=np.int64)
+        self.lib.ipxlu_get_perms(self.handle, rowperm, colperm)
+        ndep = int(self.lib.ipxlu_num_dependent(self.handle))
+        dep = np.zeros(max(ndep, 1), dtype=np.int64)
+        if ndep:
+            self.lib.ipxlu_get_dependent(self.handle, dep)
+        L = sp.csc_matrix((Lx[:lnnz.value], Li[:lnnz.value], Lp),
+                          shape=(m, m))
+        U = sp.csc_matrix((Ux[:unnz.value], Ui[:unnz.value], Up),
+                          shape=(m, m))
+        return L, U, rowperm, colperm, dep[:ndep]
+
+    def solve_dense(self, rhs: np.ndarray, trans: bool) -> np.ndarray:
+        lhs = np.zeros(self.dim)
+        rhs = np.ascontiguousarray(rhs, dtype=np.float64)
+        self.lib.ipxlu_solve_dense(self.handle, rhs, lhs, int(trans))
+        return lhs
+
+    def ftran_for_update(self, bi, bx, lhs: Optional[IndexedVector] = None):
+        bi = np.ascontiguousarray(bi, dtype=np.int64)
+        bx = np.ascontiguousarray(bx, dtype=np.float64)
+        sol = np.zeros(self.dim)
+        pat = np.zeros(self.dim, dtype=np.int64)
+        nz = int(self.lib.ipxlu_ftran_for_update(
+            self.handle, len(bi), bi, bx, sol, pat))
+        if lhs is not None:
+            if nz >= 0:
+                lhs.set_sparse(sol, np.sort(pat[:nz]))
+            else:
+                lhs.set_dense(sol)
+        return lhs
+
+    def btran_for_update(self, pos: int, lhs: Optional[IndexedVector] = None):
+        if lhs is None:
+            self.lib.ipxlu_stage_btran(self.handle, pos)
+            return None
+        sol = np.zeros(self.dim)
+        pat = np.zeros(self.dim, dtype=np.int64)
+        nz = int(self.lib.ipxlu_btran_for_update(self.handle, pos, sol, pat))
+        if nz >= 0:
+            lhs.set_sparse(sol, np.sort(pat[:nz]))
+        else:
+            lhs.set_dense(sol)
+        return lhs
+
+    def _update(self, pivot: float) -> int:
+        return int(self.lib.ipxlu_update(self.handle, float(pivot)))
+
+    def need_fresh_factorization(self) -> bool:
+        return bool(self.lib.ipxlu_need_fresh(self.handle))
+
+    def fill_factor(self) -> float:
+        return float(self.lib.ipxlu_fill_factor(self.handle))
+
+
+_EMPTY_D = np.zeros(1)
+_EMPTY_I = np.zeros(1, dtype=np.int64)
+
+
+class DenseLu(LuUpdate):
+    """Dense numpy fallback with identical semantics (small problems and
+    differential testing only)."""
+
+    def __init__(self, dim: int):
+        super().__init__(dim)
+        self.B = None
+        self.etas: List[Tuple[int, np.ndarray, float]] = []
+        self._lu = None
+        self._piv = None
+        self._dep: np.ndarray = np.empty(0, dtype=np.int64)
+        self._perm: Optional[np.ndarray] = None
+        self._ftran_sol = None
+        self._btran_pos = -1
+        self._bnnz = 1
+
+    def _factorize(self, Bbegin, Bend, Bi, Bx, strict_abs) -> int:
+        import scipy.linalg as sla
+        m = self.dim
+        B = np.zeros((m, m))
+        Bi = np.asarray(Bi)
+        Bx = np.asarray(Bx)
+        for j in range(m):
+            seg = slice(Bbegin[j], Bend[j])
+            B[Bi[seg], j] = Bx[seg]
+        self._bnnz = max(1, int(np.count_nonzero(B)))
+        self.etas = []
+        self._ftran_sol = None
+        self._btran_pos = -1
+        # rank-revealing via QR-ish: use LU with partial pivot; detect tiny
+        # pivots and patch with unit columns
+        abstol = 1e-3 if strict_abs else 1e-14
+        lu, piv = sla.lu_factor(B, check_finite=False)
+        diag = np.abs(np.diag(lu))
+        dep = np.nonzero(diag <= abstol * max(1.0, diag.max(initial=1.0)
+                                              if strict_abs else 1.0))[0]
+        status = 0
+        if dep.size:
+            status |= 2
+            # patch: replace dependent columns (in pivot order) by building a
+            # corrected dense matrix with unit columns and refactorize
+            Bp = B.copy()
+            # column k in pivot order ~ column k (scipy permutes rows only)
+            for k in dep:
+                Bp[:, k] = 0.0
+            # set unit entries at unpivoted rows
+            lu2, piv2 = sla.lu_factor(Bp + _patch_matrix(Bp, dep),
+                                      check_finite=False)
+            lu, piv = lu2, piv2
+        self._lu, self._piv = lu, piv
+        self._dep = dep
+        self.B = B
+        if not self.stability_check(Bbegin, Bend, Bi, Bx):
+            status |= 1
+        return status
+
+    def get_factors(self):
+        import scipy.linalg as sla
+        m = self.dim
+        # reconstruct explicit P B = L U
+        L = np.tril(self._lu, -1)
+        U = np.triu(self._lu)
+        perm = np.arange(m)
+        for k, pk in enumerate(self._piv):
+            perm[[k, pk]] = perm[[pk, k]]
+        rowperm = perm
+        colperm = np.arange(m)
+        return (sp.csc_matrix(L), sp.csc_matrix(U), rowperm, colperm,
+                self._dep)
+
+    def solve_dense(self, rhs, trans):
+        import scipy.linalg as sla
+        if trans:
+            x = rhs.copy().astype(float)
+            for pos, w, wd in reversed(self.etas):
+                x[pos] = (x[pos] - w @ x + w[pos] * x[pos]) / wd
+            return sla.lu_solve((self._lu, self._piv), x, trans=1,
+                                check_finite=False)
+        x = sla.lu_solve((self._lu, self._piv), rhs, check_finite=False)
+        for pos, w, wd in self.etas:
+            xp = x[pos] / wd
+            x -= w * xp
+            x[pos] = xp
+        return x
+
+    def ftran_for_update(self, bi, bx, lhs=None):
+        b = np.zeros(self.dim)
+        b[np.asarray(bi, dtype=np.int64)] = bx
+        sol = self.solve_dense(b, trans=False)
+        self._ftran_sol = sol
+        if lhs is not None:
+            lhs.set_dense(sol.copy())
+        return lhs
+
+    def btran_for_update(self, pos, lhs=None):
+        self._btran_pos = pos
+        if lhs is None:
+            return None
+        b = np.zeros(self.dim)
+        b[pos] = 1.0
+        lhs.set_dense(self.solve_dense(b, trans=True))
+        return lhs
+
+    def _update(self, pivot: float) -> int:
+        assert self._ftran_sol is not None and self._btran_pos >= 0
+        p = self._btran_pos
+        w = self._ftran_sol.copy()
+        wp = w[p]
+        if wp == 0.0 or not np.isfinite(1.0 / wp):
+            return -1
+        woff = w.copy()
+        woff[p] = 0.0
+        self.etas.append((p, woff, wp))
+        err = abs(wp - pivot) / max(abs(pivot), abs(wp))
+        self._ftran_sol = None
+        self._btran_pos = -1
+        return 1 if err > FT_DIAG_ERROR_TOL else 0
+
+    def need_fresh_factorization(self) -> bool:
+        return len(self.etas) >= max(20, self.dim)
+
+    def fill_factor(self) -> float:
+        return float(np.count_nonzero(self._lu)) / self._bnnz
+
+
+def _patch_matrix(Bp, dep):
+    """unit entries for patched dependent columns at rows with zero pivots"""
+    m = Bp.shape[0]
+    M = np.zeros((m, m))
+    # choose rows not covered by remaining columns: approximate by leftmost
+    # zero rows of Bp
+    used_rows = set()
+    for k in dep:
+        for r in range(m):
+            if r not in used_rows and np.all(Bp[r, :] == 0.0):
+                M[r, k] = 1.0
+                used_rows.add(r)
+                break
+        else:
+            for r in range(m):
+                if r not in used_rows:
+                    M[r, k] = 1.0
+                    used_rows.add(r)
+                    break
+    return M
+
+
+def make_lu(dim: int, kind: str = "native") -> LuUpdate:
+    if kind == "native":
+        try:
+            return NativeLu(dim)
+        except Exception:
+            return DenseLu(dim)
+    return DenseLu(dim)

@@ -270,7 +270,8 @@ class IPM:
         # Level pairwise complementarity products.
         xsum = 1.0 + float(xl[finl].sum() + xu[finu].sum())
         zsum = 1.0 + float(zl[finl].sum() + zu[finu].sum())
-        mu = 1.0 + float((xl * zl)[finl].sum() + (xu * zu)[finu].sum())
+        with np.errstate(invalid="ignore"):
+            mu = 1.0 + float((xl * zl)[finl].sum() + (xu * zu)[finu].sum())
         xshift2 = 0.5 * mu / zsum
         zshift2 = 0.5 * mu / xsum
         xl = xl + xshift2

@@ -238,8 +238,9 @@ class Iterate:
         self._aty = aty   # cached for objectives/postprocess
         blb = self.barrier_lb_mask
         bub = self.barrier_ub_mask
-        self._rl = np.where(blb, lb - self.x + self.xl, 0.0)
-        self._ru = np.where(bub, ub - self.x - self.xu, 0.0)
+        with np.errstate(invalid="ignore"):
+            self._rl = np.where(blb, lb - self.x + self.xl, 0.0)
+            self._ru = np.where(bub, ub - self.x - self.xu, 0.0)
         pres = max(_infnorm(self._rb), _infnorm(self._rl),
                    _infnorm(self._ru))
         self._presidual = pres

@@ -1,0 +1,842 @@
+// ipxlu — sparse LU kernel for basis matrices.
+//
+// Native host-side component of the ipx_tpu solver, providing the capability
+// the reference solver gets from the external BASICLU package (used through
+// reference: src/basiclu_wrapper.cc): factorization of an m-by-m basis matrix
+// given column-wise, hypersparse triangular solves (FTRAN/BTRAN with sparse
+// right-hand sides via depth-first reach), and factorization updates when one
+// basis column is exchanged.
+//
+// Design (written from scratch, not derived from BASICLU):
+//  * Right-looking Markowitz factorization with threshold partial pivoting:
+//    pivot search over column count classes in increasing order, choosing the
+//    eligible entry (|a_ij| >= pivottol * colmax_j) with minimum Markowitz
+//    count (colcount-1)*(rowcount-1); bounded search effort.
+//  * Columns whose largest active entry is <= an absolute tolerance are
+//    treated as dependent and replaced by unit columns (rank detection
+//    contract of reference: src/lu_update.h:20-40).
+//  * Updates use the product form of the inverse (PFI): each exchange appends
+//    an elementary eta; refactorization is recommended once the accumulated
+//    eta size exceeds the factor size or after m updates. (The reference
+//    wraps Forrest-Tomlin updates with the same cost-driven refresh policy,
+//    reference: src/basiclu_wrapper.cc:278-287.)
+//
+// All solves operate in "position space" (pivot order). rowperm/colperm map
+// positions to original row indices / basis positions:
+//   B[rowperm[k], colperm[l]] = ((L+I)*U)[k, l].
+//
+// The C API at the bottom is consumed from Python via ctypes
+// (ipx_tpu/basis/lu.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef int64_t ipxint;
+
+namespace {
+
+struct SparseCols {
+    // simple CSC container in position space
+    std::vector<ipxint> ptr;
+    std::vector<ipxint> idx;
+    std::vector<double> val;
+    void clear(ipxint n) { ptr.assign(n + 1, 0); idx.clear(); val.clear(); }
+};
+
+struct Eta {
+    ipxint pos;                  // basis position whose column was replaced
+    double diag;                 // w[pos]
+    std::vector<ipxint> idx;     // off-diagonal pattern (basis positions)
+    std::vector<double> val;
+};
+
+struct IpxLu {
+    ipxint m = 0;
+    double pivottol = 0.0625;
+
+    // factors in position space
+    SparseCols L, U;             // L strictly lower (unit diag implicit),
+                                 // U strictly upper; diag separate
+    SparseCols Lt, Ut;           // row-wise (transposed) copies
+    std::vector<double> Udiag;
+    std::vector<ipxint> rowperm, colperm;      // position -> row / column
+    std::vector<ipxint> rowperm_inv, colperm_inv;
+    std::vector<ipxint> dependent;             // positions patched to unit
+    ipxint factor_nnz = 0;
+    ipxint bnnz = 0;
+    bool have_factors = false;
+
+    // PFI update state
+    std::vector<Eta> etas;
+    ipxint eta_nnz = 0;
+
+    // pending update data
+    std::vector<double> ftran_sol;   // dense, basis-position space
+    std::vector<ipxint> ftran_pat;
+    bool ftran_pat_valid = false;
+    bool have_ftran = false;
+    ipxint btran_pos = -1;
+
+    // workspaces. `work` is reserved for the sparse solve paths and must be
+    // all-zero between calls; dense solves use workd/work2.
+    std::vector<double> work;        // sparse-path accumulator (kept zero)
+    std::vector<double> workd;       // dense-path accumulator
+    std::vector<double> work2;
+    std::vector<ipxint> stack, flag, pattern;
+    ipxint flagstamp = 0;
+
+    // stats of last solves (for hypersparsity accounting in the wrapper)
+    ipxint last_nz = -1;
+};
+
+// ---------------------------------------------------------------------
+// Factorization
+// ---------------------------------------------------------------------
+
+struct CountList {
+    // doubly-linked lists of indices bucketed by count
+    std::vector<ipxint> head, next, prev, count;
+    void init(ipxint n) {
+        head.assign(n + 2, -1);
+        next.assign(n, -1);
+        prev.assign(n, -1);
+        count.assign(n, 0);
+    }
+    void insert(ipxint j, ipxint c) {
+        count[j] = c;
+        next[j] = head[c];
+        prev[j] = -1;
+        if (head[c] >= 0) prev[head[c]] = j;
+        head[c] = j;
+    }
+    void remove(ipxint j) {
+        ipxint c = count[j];
+        if (prev[j] >= 0) next[prev[j]] = next[j];
+        else head[c] = next[j];
+        if (next[j] >= 0) prev[next[j]] = prev[j];
+        next[j] = prev[j] = -1;
+    }
+    void update(ipxint j, ipxint c) { remove(j); insert(j, c); }
+};
+
+// Builds factors from the active-matrix elimination. Returns status bits:
+// bit 0 (1): numerically unstable (not detected here; caller tests),
+// bit 1 (2): singular, dependent columns replaced by unit columns.
+int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
+              const ipxint* Bi, const double* Bx, int strict_abs) {
+    const ipxint m = lu.m;
+    const double abstol = strict_abs ? 1e-3 : 1e-14;  // kLuDependencyTol
+    lu.etas.clear();
+    lu.eta_nnz = 0;
+    lu.have_ftran = false;
+    lu.btran_pos = -1;
+    lu.dependent.clear();
+
+    // ---- load B into dynamic column structure ----
+    std::vector<std::vector<ipxint>> colrow(m);
+    std::vector<std::vector<double>> colval(m);
+    std::vector<std::vector<ipxint>> rowpat(m);   // may contain stale cols
+    std::vector<ipxint> rowcount(m, 0);
+    ipxint bnnz = 0;
+    for (ipxint j = 0; j < m; j++) {
+        ipxint len = Bend[j] - Bbegin[j];
+        colrow[j].reserve(len);
+        colval[j].reserve(len);
+        for (ipxint p = Bbegin[j]; p < Bend[j]; p++) {
+            if (Bx[p] == 0.0) continue;
+            colrow[j].push_back(Bi[p]);
+            colval[j].push_back(Bx[p]);
+            rowpat[Bi[p]].push_back(j);
+            rowcount[Bi[p]]++;
+            bnnz++;
+        }
+    }
+    lu.bnnz = bnnz > 0 ? bnnz : 1;
+
+    CountList clist;
+    clist.init(m);
+    for (ipxint j = 0; j < m; j++)
+        clist.insert(j, (ipxint)colrow[j].size());
+
+    std::vector<char> colpivotal(m, 0), rowpivotal(m, 0);
+    lu.rowperm.assign(m, -1);
+    lu.colperm.assign(m, -1);
+    lu.rowperm_inv.assign(m, -1);
+    lu.colperm_inv.assign(m, -1);
+    lu.Udiag.assign(m, 0.0);
+
+    // raw factor storage during elimination (original row / column indices)
+    std::vector<std::vector<ipxint>> Lrows(m);    // per step k: rows of L col
+    std::vector<std::vector<double>> Lvals(m);
+    std::vector<std::vector<ipxint>> Ucols(m);    // per step k: cols of U row
+    std::vector<std::vector<double>> Uvals(m);
+
+    // dense workspaces for column updates
+    std::vector<ipxint> wpos(m, -1);     // position of row i in current col
+    std::vector<ipxint> stamp(m, -1);
+    std::vector<ipxint> rstamp(m, -1);   // dedupe for row patterns
+
+    const ipxint kMaxSearchCols = 64;
+
+    ipxint rank = 0;
+    for (ipxint k = 0; k < m; k++) {
+        // ---- pivot search ----
+        ipxint bestcol = -1, bestrow = -1;
+        double bestval = 0.0;
+        ipxint bestmark = -1;
+        ipxint searched = 0;
+        for (ipxint c = 1; c <= m && bestmark != 0; c++) {
+            if (bestmark >= 0 && (ipxint)((c - 1) * (c - 1)) >= bestmark)
+                break;   // cannot improve in this or later classes
+            for (ipxint j = clist.head[c]; j >= 0; j = clist.next[j]) {
+                // scan column j
+                double colmax = 0.0;
+                for (double v : colval[j])
+                    colmax = std::max(colmax, std::fabs(v));
+                if (colmax > abstol) {
+                    double thresh = lu.pivottol * colmax;
+                    ipxint brow = -1; double bval = 0.0; ipxint brc = -1;
+                    for (size_t t = 0; t < colrow[j].size(); t++) {
+                        double av = std::fabs(colval[j][t]);
+                        if (av >= thresh) {
+                            ipxint rc = rowcount[colrow[j][t]];
+                            if (brc < 0 || rc < brc ||
+                                (rc == brc && av > std::fabs(bval))) {
+                                brc = rc; brow = colrow[j][t];
+                                bval = colval[j][t];
+                            }
+                        }
+                    }
+                    if (brow >= 0) {
+                        ipxint mark = (c - 1) * (brc - 1);
+                        if (bestmark < 0 || mark < bestmark ||
+                            (mark == bestmark &&
+                             std::fabs(bval) > std::fabs(bestval))) {
+                            bestmark = mark; bestcol = j; bestrow = brow;
+                            bestval = bval;
+                        }
+                        if (bestmark == 0) break;
+                    }
+                }
+                if (++searched >= kMaxSearchCols && bestcol >= 0) break;
+            }
+            if (searched >= kMaxSearchCols && bestcol >= 0) break;
+        }
+        if (bestcol < 0)
+            break;      // no eligible pivot: remaining columns dependent
+
+        const ipxint r = bestrow, jc = bestcol;
+        const double pivval = bestval;
+        lu.rowperm[k] = r;
+        lu.colperm[k] = jc;
+        lu.rowperm_inv[r] = k;
+        lu.colperm_inv[jc] = k;
+        lu.Udiag[k] = pivval;
+        rowpivotal[r] = 1;
+        colpivotal[jc] = 1;
+        clist.remove(jc);
+        rank++;
+
+        // ---- form L column (multipliers) ----
+        auto& Lr = Lrows[k];
+        auto& Lv = Lvals[k];
+        for (size_t t = 0; t < colrow[jc].size(); t++) {
+            ipxint i = colrow[jc][t];
+            if (i == r) continue;
+            Lr.push_back(i);
+            Lv.push_back(colval[jc][t] / pivval);
+            rowcount[i]--;
+        }
+        rowcount[r] -= 1;
+        colrow[jc].clear(); colval[jc].clear();
+
+        // ---- process pivot row: collect U entries, then update columns ----
+        auto& Uc = Ucols[k];
+        auto& Uv = Uvals[k];
+        for (ipxint j : rowpat[r]) {
+            if (colpivotal[j] || rstamp[j] == k) continue;
+            rstamp[j] = k;
+            // find and remove entry (r, j)
+            auto& cr = colrow[j];
+            auto& cv = colval[j];
+            ipxint found = -1;
+            for (size_t t = 0; t < cr.size(); t++)
+                if (cr[t] == r) { found = (ipxint)t; break; }
+            if (found < 0) continue;          // stale pattern entry
+            double u = cv[found];
+            cr[found] = cr.back(); cr.pop_back();
+            cv[found] = cv.back(); cv.pop_back();
+            Uc.push_back(j);
+            Uv.push_back(u);
+
+            // column update: col_j -= u * Lcol
+            if (!Lr.empty()) {
+                // load positions of column j
+                for (size_t t = 0; t < cr.size(); t++) {
+                    stamp[cr[t]] = m + k;     // unique per (step)
+                    wpos[cr[t]] = (ipxint)t;
+                }
+                for (size_t t = 0; t < Lr.size(); t++) {
+                    ipxint i = Lr[t];
+                    double delta = -Lv[t] * u;
+                    if (stamp[i] == m + k) {
+                        cv[wpos[i]] += delta;
+                    } else {
+                        cr.push_back(i);
+                        cv.push_back(delta);
+                        rowpat[i].push_back(j);
+                        rowcount[i]++;
+                    }
+                }
+                // clear stamps for this column
+                for (size_t t = 0; t < cr.size(); t++)
+                    if (stamp[cr[t]] == m + k) stamp[cr[t]] = -1;
+            }
+            clist.update(j, (ipxint)cr.size());
+        }
+        rowpat[r].clear();
+    }
+
+    int status = 0;
+    if (rank < m) {
+        status |= 2;
+        // pair leftover rows and columns arbitrarily; unit pivots
+        std::vector<ipxint> freerows, freecols;
+        for (ipxint i = 0; i < m; i++)
+            if (!rowpivotal[i]) freerows.push_back(i);
+        for (ipxint j = 0; j < m; j++)
+            if (!colpivotal[j]) freecols.push_back(j);
+        ipxint k = rank;
+        for (size_t t = 0; t < freerows.size(); t++, k++) {
+            lu.rowperm[k] = freerows[t];
+            lu.colperm[k] = freecols[t];
+            lu.rowperm_inv[freerows[t]] = k;
+            lu.colperm_inv[freecols[t]] = k;
+            lu.Udiag[k] = 1.0;
+            lu.dependent.push_back(k);
+        }
+        // Dependent columns are replaced by unit columns in L*U: remove any
+        // U entries recorded for them during elimination so that column k of
+        // (L+I)U is exactly e_k (contract of reference: src/lu_update.h:43-60).
+        std::vector<char> depcol(m, 0);
+        for (ipxint d : lu.dependent) depcol[d] = 1;
+        for (ipxint kk = 0; kk < m; kk++) {
+            auto& uc = Ucols[kk];
+            auto& uv = Uvals[kk];
+            size_t keep = 0;
+            for (size_t t = 0; t < uc.size(); t++) {
+                if (!depcol[lu.colperm_inv[uc[t]]]) {
+                    uc[keep] = uc[t];
+                    uv[keep] = uv[t];
+                    keep++;
+                }
+            }
+            uc.resize(keep);
+            uv.resize(keep);
+        }
+    }
+
+    // ---- convert raw factors to position-space CSC + CSR ----
+    auto build = [&](std::vector<std::vector<ipxint>>& ridx,
+                     std::vector<std::vector<double>>& rval,
+                     const std::vector<ipxint>& perm_inv,
+                     SparseCols& C, SparseCols& Ct) {
+        ipxint nnz = 0;
+        for (ipxint k = 0; k < m; k++) nnz += (ipxint)ridx[k].size();
+        C.ptr.assign(m + 1, 0);
+        C.idx.resize(nnz); C.val.resize(nnz);
+        // column k holds entries with positions perm_inv[orig]
+        std::vector<std::pair<ipxint, double>> tmp;
+        ipxint p = 0;
+        for (ipxint k = 0; k < m; k++) {
+            tmp.clear();
+            for (size_t t = 0; t < ridx[k].size(); t++)
+                tmp.push_back({perm_inv[ridx[k][t]], rval[k][t]});
+            std::sort(tmp.begin(), tmp.end());
+            C.ptr[k] = p;
+            for (auto& e : tmp) { C.idx[p] = e.first; C.val[p] = e.second; p++; }
+            ridx[k].clear(); rval[k].clear();
+        }
+        C.ptr[m] = p;
+        // transpose
+        Ct.ptr.assign(m + 1, 0);
+        Ct.idx.resize(nnz); Ct.val.resize(nnz);
+        std::vector<ipxint> cnt(m + 1, 0);
+        for (ipxint t = 0; t < nnz; t++) cnt[C.idx[t] + 1]++;
+        for (ipxint i = 0; i < m; i++) cnt[i + 1] += cnt[i];
+        for (ipxint i = 0; i <= m; i++) Ct.ptr[i] = cnt[i];
+        std::vector<ipxint> fill(cnt.begin(), cnt.end());
+        for (ipxint k = 0; k < m; k++)
+            for (ipxint t = C.ptr[k]; t < C.ptr[k + 1]; t++) {
+                ipxint q = fill[C.idx[t]]++;
+                Ct.idx[q] = k;
+                Ct.val[q] = C.val[t];
+            }
+    };
+    // L columns: entries are original rows -> positions (assigned later steps)
+    build(Lrows, Lvals, lu.rowperm_inv, lu.L, lu.Lt);
+    // U rows: entries are original cols -> positions; U is stored row-wise
+    // first (Ucols[k] = row k of U), i.e. build gives CSR in lu.Ut... build
+    // treats input as columns; passing rows yields the transpose, so:
+    build(Ucols, Uvals, lu.colperm_inv, lu.Ut, lu.U);
+
+    lu.factor_nnz = (ipxint)(lu.L.idx.size() + lu.U.idx.size()) + m;
+    lu.have_factors = true;
+    lu.work.assign(m, 0.0);
+    lu.workd.assign(m, 0.0);
+    lu.work2.assign(m, 0.0);
+    lu.stack.resize(2 * m);
+    lu.flag.assign(m, -1);
+    lu.pattern.resize(m);
+    lu.flagstamp = 0;
+    lu.ftran_sol.assign(m, 0.0);
+    return status;
+}
+
+// ---------------------------------------------------------------------
+// Triangular solves (position space)
+// ---------------------------------------------------------------------
+
+// Sparse reach: DFS from the nonzero pattern of the rhs through the graph of
+// the triangular factor C (edges k -> C.idx[p] for p in column k). Emits
+// positions in topological order suitable for the numeric phase.
+// `lower`: solve proceeds k ascending (L) or descending (U).
+static ipxint reach(const SparseCols& C, const ipxint* rhs_pat, ipxint nrhs,
+                    std::vector<ipxint>& stack, std::vector<ipxint>& flag,
+                    ipxint stampval, ipxint* out) {
+    // iterative DFS with explicit stack of (node, next edge ptr)
+    ipxint top = 0;      // output count (filled from end)
+    ipxint nout = 0;
+    ipxint* nodestack = stack.data();
+    for (ipxint s = 0; s < nrhs; s++) {
+        ipxint root = rhs_pat[s];
+        if (flag[root] == stampval) continue;
+        ipxint depth = 0;
+        nodestack[0] = root;
+        std::vector<ipxint> edge(1, C.ptr[root]);
+        while (depth >= 0) {
+            ipxint node = nodestack[depth];
+            bool descended = false;
+            ipxint pend = C.ptr[node + 1];
+            while (edge[depth] < pend) {
+                ipxint child = C.idx[edge[depth]++];
+                if (flag[child] != stampval) {
+                    flag[child] = stampval;
+                    depth++;
+                    nodestack[depth] = child;
+                    if ((ipxint)edge.size() <= depth) edge.push_back(0);
+                    edge[depth] = C.ptr[child];
+                    descended = true;
+                    break;
+                }
+            }
+            if (!descended) {
+                out[nout++] = node;   // post-order = topological for solve
+                depth--;
+            } else {
+                continue;
+            }
+        }
+        flag[root] = stampval;
+    }
+    (void)top;
+    return nout;
+}
+
+// Numeric sparse solve with unit or explicit diagonal.
+// Solves C x = b where C is triangular represented column-wise with
+// entries strictly off-diagonal; diag == nullptr means unit diagonal.
+static ipxint sparse_solve(const SparseCols& C, const double* diag,
+                           IpxLu& lu, ipxint nrhs, const ipxint* rhs_pat,
+                           double* x /* dense, pre-scattered */,
+                           ipxint* out_pat) {
+    lu.flagstamp++;
+    ipxint nout = reach(C, rhs_pat, nrhs, lu.stack, lu.flag, lu.flagstamp,
+                        out_pat);
+    // topological order from DFS post-order: dependencies (children) come
+    // before parents... For a solve over column-structure, node k's solution
+    // updates its children C.idx (which are solved later in the elimination
+    // order). Post-order emits children first, but we need k BEFORE its
+    // children. So process in reverse.
+    for (ipxint t = nout - 1; t >= 0; t--) {
+        ipxint k = out_pat[t];
+        double xk = x[k];
+        if (diag) { xk /= diag[k]; x[k] = xk; }
+        if (xk != 0.0) {
+            for (ipxint p = C.ptr[k]; p < C.ptr[k + 1]; p++)
+                x[C.idx[p]] -= C.val[p] * xk;
+        }
+    }
+    // reverse output so caller sees processing order
+    std::reverse(out_pat, out_pat + nout);
+    return nout;
+}
+
+// dense lower solve (unit diag), ascending positions
+static void dense_lsolve(const SparseCols& L, double* x, ipxint m) {
+    for (ipxint k = 0; k < m; k++) {
+        double xk = x[k];
+        if (xk != 0.0)
+            for (ipxint p = L.ptr[k]; p < L.ptr[k + 1]; p++)
+                x[L.idx[p]] -= L.val[p] * xk;
+    }
+}
+
+// dense upper solve with diag, descending positions
+static void dense_usolve(const SparseCols& U, const double* diag, double* x,
+                         ipxint m) {
+    for (ipxint k = m - 1; k >= 0; k--) {
+        double xk = x[k] / diag[k];
+        x[k] = xk;
+        if (xk != 0.0)
+            for (ipxint p = U.ptr[k]; p < U.ptr[k + 1]; p++)
+                x[U.idx[p]] -= U.val[p] * xk;
+    }
+}
+
+// dense "upper transpose" solve: U^T y = b, ascending positions, diag first
+static void dense_utsolve(const SparseCols& Ut, const double* diag, double* x,
+                          ipxint m) {
+    for (ipxint k = 0; k < m; k++) {
+        double xk = x[k] / diag[k];
+        x[k] = xk;
+        if (xk != 0.0)
+            for (ipxint p = Ut.ptr[k]; p < Ut.ptr[k + 1]; p++)
+                x[Ut.idx[p]] -= Ut.val[p] * xk;
+    }
+}
+
+// dense "lower transpose" solve: L^T y = b, descending positions, unit diag
+static void dense_ltsolve(const SparseCols& Lt, double* x, ipxint m) {
+    for (ipxint k = m - 1; k >= 0; k--) {
+        double xk = x[k];
+        if (xk != 0.0)
+            for (ipxint p = Lt.ptr[k]; p < Lt.ptr[k + 1]; p++)
+                x[Lt.idx[p]] -= Lt.val[p] * xk;
+    }
+}
+
+// Applies eta inverses for FTRAN: x := E^{-1} x for each eta in order.
+static void apply_etas_ftran(IpxLu& lu, double* x) {
+    for (const Eta& e : lu.etas) {
+        double xp = x[e.pos] / e.diag;
+        if (x[e.pos] != 0.0 || xp != 0.0) {
+            x[e.pos] = xp;
+            if (xp != 0.0)
+                for (size_t t = 0; t < e.idx.size(); t++)
+                    x[e.idx[t]] -= e.val[t] * xp;
+        }
+    }
+}
+
+// Applies eta inverse transposes for BTRAN (most recent first):
+// u = E^{-T} b: u_p = (b_p - w_off·b_off)/w_p.
+static void apply_etas_btran(IpxLu& lu, double* x) {
+    for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
+        const Eta& e = *it;
+        double acc = x[e.pos];
+        for (size_t t = 0; t < e.idx.size(); t++)
+            acc -= e.val[t] * x[e.idx[t]];
+        x[e.pos] = acc / e.diag;
+    }
+}
+
+// Full dense FTRAN: solves B x = b. b and x in user spaces.
+static void ftran_dense(IpxLu& lu, const double* b, double* x) {
+    const ipxint m = lu.m;
+    double* w = lu.workd.data();
+    for (ipxint k = 0; k < m; k++) w[k] = b[lu.rowperm[k]];
+    dense_lsolve(lu.L, w, m);
+    dense_usolve(lu.U, lu.Udiag.data(), w, m);
+    // to basis-position space
+    double* s = lu.work2.data();
+    for (ipxint k = 0; k < m; k++) s[lu.colperm[k]] = w[k];
+    apply_etas_ftran(lu, s);
+    std::memcpy(x, s, m * sizeof(double));
+}
+
+// Full dense BTRAN: solves B^T x = b.
+static void btran_dense(IpxLu& lu, const double* b, double* x) {
+    const ipxint m = lu.m;
+    double* s = lu.work2.data();
+    std::memcpy(s, b, m * sizeof(double));
+    apply_etas_btran(lu, s);
+    double* w = lu.workd.data();
+    for (ipxint k = 0; k < m; k++) w[k] = s[lu.colperm[k]];
+    dense_utsolve(lu.Ut, lu.Udiag.data(), w, m);
+    dense_ltsolve(lu.Lt, w, m);
+    for (ipxint k = 0; k < m; k++) x[lu.rowperm[k]] = w[k];
+}
+
+// Sparse FTRAN with pattern tracking. Returns nz (pattern in out_pat, values
+// dense in x) or -1 if the result should be treated dense.
+static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
+                           const double* bx, double* x, ipxint* out_pat) {
+    const ipxint m = lu.m;
+    // if etas exist, fall back to dense path for simplicity of pattern
+    if (!lu.etas.empty() || nb > m / 8) {
+        std::fill(lu.work2.data(), lu.work2.data() + m, 0.0);
+        double* bfull = lu.work2.data();
+        // scatter into user row space temp
+        std::vector<double>& tmp = lu.ftran_sol;  // reuse
+        (void)tmp;
+        std::fill(x, x + m, 0.0);
+        // build dense rhs
+        std::vector<double> bd(m, 0.0);
+        for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
+        ftran_dense(lu, bd.data(), x);
+        (void)bfull;
+        return -1;
+    }
+    double* w = lu.work.data();
+    // scatter rhs into position space
+    ipxint npat = 0;
+    ipxint* pat = lu.pattern.data();
+    for (ipxint t = 0; t < nb; t++) {
+        ipxint k = lu.rowperm_inv[bi[t]];
+        w[k] = bx[t];
+        pat[npat++] = k;
+    }
+    // L solve
+    std::vector<ipxint> pat2(m);
+    ipxint n2 = sparse_solve(lu.L, nullptr, lu, npat, pat, w, pat2.data());
+    // U solve from pattern of y
+    std::vector<ipxint> pat3(m);
+    ipxint n3 = sparse_solve(lu.U, lu.Udiag.data(), lu, n2, pat2.data(), w,
+                             pat3.data());
+    // gather into basis-position space
+    std::fill(x, x + m, 0.0);
+    ipxint nz = 0;
+    for (ipxint t = 0; t < n3; t++) {
+        ipxint k = pat3[t];
+        double v = w[k];
+        w[k] = 0.0;
+        if (v != 0.0) {
+            ipxint j = lu.colperm[k];
+            x[j] = v;
+            out_pat[nz++] = j;
+        }
+    }
+    // clear scattered w leftovers (positions solved but zero handled above;
+    // also clear the L-phase pattern in case U-phase pattern differs)
+    for (ipxint t = 0; t < n2; t++) w[pat2[t]] = 0.0;
+    return nz;
+}
+
+// Sparse BTRAN of a unit vector e_pos (basis position). Returns nz or -1.
+static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
+                                ipxint* out_pat) {
+    const ipxint m = lu.m;
+    if (!lu.etas.empty()) {
+        std::vector<double> bd(m, 0.0);
+        bd[pos] = 1.0;
+        btran_dense(lu, bd.data(), x);
+        return -1;
+    }
+    double* w = lu.work.data();
+    ipxint k0 = lu.colperm_inv[pos];
+    w[k0] = 1.0;
+    ipxint pat0[1] = {k0};
+    std::vector<ipxint> pat2(m), pat3(m);
+    ipxint n2 = sparse_solve(lu.Ut, lu.Udiag.data(), lu, 1, pat0, w,
+                             pat2.data());
+    ipxint n3 = sparse_solve(lu.Lt, nullptr, lu, n2, pat2.data(), w,
+                             pat3.data());
+    std::fill(x, x + m, 0.0);
+    ipxint nz = 0;
+    for (ipxint t = 0; t < n3; t++) {
+        ipxint k = pat3[t];
+        double v = w[k];
+        w[k] = 0.0;
+        if (v != 0.0) {
+            ipxint i = lu.rowperm[k];
+            x[i] = v;
+            out_pat[nz++] = i;
+        }
+    }
+    for (ipxint t = 0; t < n2; t++) w[pat2[t]] = 0.0;
+    return nz;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------
+extern "C" {
+
+void* ipxlu_new(ipxint m) {
+    IpxLu* lu = new IpxLu();
+    lu->m = m;
+    return lu;
+}
+
+void ipxlu_free(void* h) { delete static_cast<IpxLu*>(h); }
+
+void ipxlu_set_pivottol(void* h, double tol) {
+    static_cast<IpxLu*>(h)->pivottol = tol;
+}
+
+double ipxlu_get_pivottol(void* h) {
+    return static_cast<IpxLu*>(h)->pivottol;
+}
+
+// returns status bits: 2 = singular (dependent cols replaced)
+ipxint ipxlu_factorize(void* h, const ipxint* Bbegin, const ipxint* Bend,
+                       const ipxint* Bi, const double* Bx,
+                       ipxint strict_abs) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    return factorize(lu, Bbegin, Bend, Bi, Bx, (int)strict_abs);
+}
+
+ipxint ipxlu_factor_nnz(void* h) {
+    return static_cast<IpxLu*>(h)->factor_nnz;
+}
+
+ipxint ipxlu_num_dependent(void* h) {
+    return (ipxint)static_cast<IpxLu*>(h)->dependent.size();
+}
+
+void ipxlu_get_dependent(void* h, ipxint* out) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    std::copy(lu.dependent.begin(), lu.dependent.end(), out);
+}
+
+void ipxlu_get_perms(void* h, ipxint* rowperm, ipxint* colperm) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    std::copy(lu.rowperm.begin(), lu.rowperm.end(), rowperm);
+    std::copy(lu.colperm.begin(), lu.colperm.end(), colperm);
+}
+
+// Exports factor sizes then data. L unit-lower (strict part), U upper with
+// diagonal merged in, both CSC in position space with sorted indices.
+void ipxlu_factor_sizes(void* h, ipxint* lnnz, ipxint* unnz) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    *lnnz = (ipxint)lu.L.idx.size();
+    *unnz = (ipxint)(lu.U.idx.size() + lu.m);
+}
+
+void ipxlu_get_factors(void* h, ipxint* Lp, ipxint* Li, double* Lx,
+                       ipxint* Up, ipxint* Ui, double* Ux) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    std::copy(lu.L.ptr.begin(), lu.L.ptr.end(), Lp);
+    std::copy(lu.L.idx.begin(), lu.L.idx.end(), Li);
+    std::copy(lu.L.val.begin(), lu.L.val.end(), Lx);
+    // U with diagonal: column k = strict entries + diag at end (sorted)
+    ipxint p = 0;
+    for (ipxint k = 0; k < m; k++) {
+        Up[k] = p;
+        for (ipxint t = lu.U.ptr[k]; t < lu.U.ptr[k + 1]; t++) {
+            Ui[p] = lu.U.idx[t];
+            Ux[p] = lu.U.val[t];
+            p++;
+        }
+        Ui[p] = k;
+        Ux[p] = lu.Udiag[k];
+        p++;
+    }
+    Up[m] = p;
+}
+
+void ipxlu_solve_dense(void* h, const double* rhs, double* lhs, ipxint trans) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    if (trans)
+        btran_dense(lu, rhs, lhs);
+    else
+        ftran_dense(lu, rhs, lhs);
+}
+
+// FTRAN with sparse rhs; also records the result as the pending spike for a
+// subsequent update. Returns nz >= 0 with pattern in pat, or -1 (dense).
+ipxint ipxlu_ftran_for_update(void* h, ipxint nb, const ipxint* bi,
+                              const double* bx, double* lhs, ipxint* pat) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    ipxint nz = ftran_sparse(lu, nb, bi, bx, lhs, pat);
+    // record spike
+    std::memcpy(lu.ftran_sol.data(), lhs, lu.m * sizeof(double));
+    if (nz >= 0) {
+        lu.ftran_pat.assign(pat, pat + nz);
+        lu.ftran_pat_valid = true;
+    } else {
+        lu.ftran_pat_valid = false;
+    }
+    lu.have_ftran = true;
+    return nz;
+}
+
+// Stages position pos as leaving without computing the BTRAN solution.
+void ipxlu_stage_btran(void* h, ipxint pos) {
+    static_cast<IpxLu*>(h)->btran_pos = pos;
+}
+
+// BTRAN of unit vector at basis position pos; records pos for update.
+ipxint ipxlu_btran_for_update(void* h, ipxint pos, double* lhs, ipxint* pat) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    lu.btran_pos = pos;
+    if (lhs == nullptr)
+        return 0;
+    return btran_sparse_unit(lu, pos, lhs, pat);
+}
+
+// Applies the pending exchange as a PFI eta. Returns
+//  -1 singular (new pivot ~ 0), 1 unstable (pivot mismatch), 0 ok.
+ipxint ipxlu_update(void* h, double pivot) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    if (!lu.have_ftran || lu.btran_pos < 0)
+        return -2;
+    ipxint p = lu.btran_pos;
+    double wp = lu.ftran_sol[p];
+    if (wp == 0.0 || !std::isfinite(1.0 / wp))
+        return -1;
+    // stability: compare spike pivot with independently computed pivot
+    double err = std::fabs(wp - pivot) /
+        std::max(std::fabs(pivot), std::fabs(wp));
+    Eta e;
+    e.pos = p;
+    e.diag = wp;
+    if (lu.ftran_pat_valid) {
+        for (ipxint j : lu.ftran_pat)
+            if (j != p && lu.ftran_sol[j] != 0.0) {
+                e.idx.push_back(j);
+                e.val.push_back(lu.ftran_sol[j]);
+            }
+    } else {
+        for (ipxint j = 0; j < m; j++)
+            if (j != p && lu.ftran_sol[j] != 0.0) {
+                e.idx.push_back(j);
+                e.val.push_back(lu.ftran_sol[j]);
+            }
+    }
+    lu.eta_nnz += (ipxint)e.idx.size() + 1;
+    lu.etas.push_back(std::move(e));
+    lu.have_ftran = false;
+    lu.btran_pos = -1;
+    if (err > 1e-8)          // kFtDiagErrorTol
+        return 1;
+    return 0;
+}
+
+ipxint ipxlu_need_fresh(void* h) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    if ((ipxint)lu.etas.size() >= lu.m)
+        return 1;
+    if (lu.eta_nnz > lu.factor_nnz)
+        return 1;
+    return 0;
+}
+
+ipxint ipxlu_num_updates(void* h) {
+    return (ipxint)static_cast<IpxLu*>(h)->etas.size();
+}
+
+double ipxlu_fill_factor(void* h) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    return (double)lu.factor_nnz / (double)lu.bnnz;
+}
+
+}  // extern "C"

@@ -1,0 +1,143 @@
+"""Differential tests of the native LU kernel against direct solves."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from ipx_tpu.basis.indexed_vector import IndexedVector
+from ipx_tpu.basis.lu import NativeLu
+
+
+def random_basis(m, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    B = sp.random(m, m, density=density, random_state=np.random.RandomState(
+        seed), format="csc")
+    # make it comfortably nonsingular
+    B = B + sp.diags(rng.uniform(1.0, 2.0, size=m))
+    B = B.tocsc()
+    B.sort_indices()
+    return B
+
+
+def csc_arrays(B):
+    return (B.indptr[:-1].astype(np.int64), B.indptr[1:].astype(np.int64),
+            B.indices.astype(np.int64), B.data.astype(np.float64))
+
+
+@pytest.mark.parametrize("m,density,seed", [(10, 0.3, 0), (50, 0.1, 1),
+                                            (200, 0.02, 2), (500, 0.01, 3)])
+def test_factorize_and_solve(m, density, seed):
+    B = random_basis(m, density, seed)
+    lu = NativeLu(m)
+    status = lu.factorize(*csc_arrays(B), strict_abs_pivottol=False)
+    assert status == 0, f"unexpected status {status}"
+
+    rng = np.random.default_rng(seed + 100)
+    b = rng.standard_normal(m)
+    x = lu.solve_dense(b, trans=False)
+    assert np.allclose(B @ x, b, atol=1e-8 * max(1, np.abs(b).max()))
+    y = lu.solve_dense(b, trans=True)
+    assert np.allclose(B.T @ y, b, atol=1e-8 * max(1, np.abs(b).max()))
+
+
+def test_get_factors_identity():
+    m = 80
+    B = random_basis(m, 0.08, 7)
+    lu = NativeLu(m)
+    assert lu.factorize(*csc_arrays(B), False) == 0
+    L, U, rowperm, colperm, dep = lu.get_factors()
+    assert dep.size == 0
+    PBQ = B[rowperm][:, colperm].toarray()
+    rec = (L.toarray() + np.eye(m)) @ U.toarray()
+    assert np.allclose(PBQ, rec, atol=1e-10 * np.abs(B.data).max())
+
+
+def test_sparse_ftran_btran():
+    m = 300
+    B = random_basis(m, 0.01, 5)
+    lu = NativeLu(m)
+    assert lu.factorize(*csc_arrays(B), False) == 0
+    # sparse rhs
+    bi = np.array([3, 77, 150], dtype=np.int64)
+    bx = np.array([1.0, -2.0, 0.5])
+    out = IndexedVector(m)
+    lu.ftran_for_update(bi, bx, out)
+    b = np.zeros(m)
+    b[bi] = bx
+    assert np.allclose(B @ out.values, b, atol=1e-8)
+    # btran of unit vector at basis position p: B' y = e_p
+    out2 = IndexedVector(m)
+    lu.btran_for_update(42, out2)
+    e = np.zeros(m)
+    e[42] = 1.0
+    assert np.allclose(B.T @ out2.values, e, atol=1e-8)
+
+
+def test_updates():
+    m = 60
+    rng = np.random.default_rng(11)
+    B = random_basis(m, 0.1, 9).tolil()
+    lu = NativeLu(m)
+    Bc = B.tocsc()
+    assert lu.factorize(*csc_arrays(Bc), False) == 0
+
+    for it in range(15):
+        # replace a random column with a random sparse vector
+        p = int(rng.integers(m))
+        nz = rng.choice(m, size=5, replace=False)
+        vals = rng.standard_normal(5)
+        vals[0] += 3.0   # keep well conditioned-ish
+        a = np.zeros(m)
+        a[nz] = vals
+
+        sol = IndexedVector(m)
+        lu.ftran_for_update(nz.astype(np.int64), vals, sol)
+        piv = sol.values[p]
+        if abs(piv) < 1e-8:
+            continue
+        lu.btran_for_update(p)
+        status = lu.update(piv)
+        assert status >= 0
+        B[:, p] = a.reshape(-1, 1)
+        Bc = B.tocsc()
+
+        b = rng.standard_normal(m)
+        x = lu.solve_dense(b, trans=False)
+        assert np.allclose(Bc @ x, b, atol=1e-6), f"ftran broken at {it}"
+        y = lu.solve_dense(b, trans=True)
+        assert np.allclose(Bc.T @ y, b, atol=1e-6), f"btran broken at {it}"
+
+
+def test_singular_patching():
+    # B with a dependent column: col 3 = col 1
+    m = 6
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((m, m))
+    B[:, 3] = B[:, 1]
+    Bc = sp.csc_matrix(B)
+    lu = NativeLu(m)
+    status = lu.factorize(*csc_arrays(Bc), False)
+    assert status & 2
+    L, U, rowperm, colperm, dep = lu.get_factors()
+    assert dep.size >= 1
+    # patched B (dependent cols replaced by unit cols) = (L+I)U
+    PBQ = Bc[rowperm][:, colperm].toarray()
+    for k in dep:
+        PBQ[:, k] = 0.0
+        PBQ[k, k] = 1.0
+    rec = (L.toarray() + np.eye(m)) @ U.toarray()
+    # only the unit patch column should differ from original in pattern;
+    # compare patched vs reconstruction
+    assert np.allclose(PBQ, rec, atol=1e-8), \
+        f"max diff {np.abs(PBQ-rec).max()}"
+
+
+def test_slack_identity_basis():
+    # all-slack basis (identity) is the simplest basis in the solver
+    m = 40
+    I = sp.identity(m, format="csc")
+    lu = NativeLu(m)
+    assert lu.factorize(*csc_arrays(I), False) == 0
+    b = np.arange(1.0, m + 1)
+    assert np.allclose(lu.solve_dense(b, False), b)
+    assert np.allclose(lu.solve_dense(b, True), b)
