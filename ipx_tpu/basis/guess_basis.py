@@ -1,0 +1,199 @@
+"""Crash-basis guess: 3-stage column selection.
+
+Counterpart of the reference crash procedure (reference: src/guess_basis.cc):
+(1) incomplete left-looking LU over columns with infinite weight (free
+    variables), with topological pattern DFS and pivot threshold 1e-3;
+(2) singleton columns whose weighted entry is at least half the row max;
+(3) maximum-cardinality matching of remaining columns in decreasing weight
+    order via augmenting paths, giving up after 10x the remaining deficit of
+    failures;
+completed with slack columns for unmatched rows.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..control import Control
+from ..model import Model
+from .sparse_utils import augmenting_path, depth_first_search
+
+LU_DEPENDENCY_TOL = 1e-3
+INF = np.inf
+
+
+def guess_basis(control: Control, model: Model,
+                colweights: np.ndarray) -> np.ndarray:
+    m, n = model.num_rows, model.num_cols
+    basis: List[int] = []
+    rownumber = np.full(m, -1, dtype=np.int64)
+    active = np.ones(n + m, dtype=bool)
+
+    _process_free_columns(control, model, colweights, basis, rownumber,
+                          active)
+    _process_singletons(control, model, colweights, basis, rownumber, active)
+    _process_remaining(control, model, colweights, basis, rownumber, active)
+
+    # complete with slack columns for uncovered rows
+    for i in np.nonzero(rownumber < 0)[0]:
+        basis.append(n + int(i))
+    assert len(basis) == m
+    return np.asarray(basis, dtype=np.int64)
+
+
+def _process_free_columns(control, model, weights, basis, rownumber, active):
+    """Incomplete left-looking LU over free columns
+    (reference: src/guess_basis.cc:66-108)."""
+    m, n = model.num_rows, model.num_cols
+    free_cols = np.nonzero(np.isinf(weights))[0]
+    num_free = 0
+    if free_cols.size == 0:
+        return
+    # L columns stored as (rows, values) lists; row indices unpermuted.
+    Lcols_rows: List[np.ndarray] = []
+    Lcols_vals: List[np.ndarray] = []
+    # concatenated pattern arrays for DFS: built incrementally
+    Lp = [0]
+    Li: List[int] = []
+    lhs = np.zeros(m)
+    marked = np.full(m, -1, dtype=np.int64)
+    istack = np.empty(m, dtype=np.int64)
+    work = np.empty(m, dtype=np.int64)
+
+    for j in free_cols:
+        bi, bx = model.AI_col(int(j))
+        Lp_arr = np.asarray(Lp, dtype=np.int64)
+        Li_arr = np.asarray(Li, dtype=np.int64)
+        # pattern of L \ AI[:,j] via DFS (neighbours of node i = column
+        # rownumber[i] of L)
+        top = m
+        for i in bi:
+            if marked[i] != j:
+                top = depth_first_search(int(i), Lp_arr, Li_arr, rownumber,
+                                         top, istack, marked, int(j), work)
+        pattern = istack[top:m]
+        # numeric phase in topological order
+        lhs[pattern] = 0.0
+        lhs[bi] = bx
+        lhsmax = 0.0
+        imax = -1
+        for i in pattern:
+            temp = lhs[i]
+            k = rownumber[i]
+            if temp != 0.0:
+                if k >= 0:
+                    seg = slice(Lp[k], Lp[k + 1])
+                    rows = Lcols_rows[k]
+                    lhs[rows] -= Lcols_vals[k] * temp
+                elif abs(temp) > lhsmax:
+                    lhsmax = abs(temp)
+                    imax = int(i)
+        pivot = lhs[imax] if imax >= 0 else 0.0
+        if abs(pivot) > LU_DEPENDENCY_TOL:
+            rownumber[imax] = len(basis)
+            basis.append(int(j))
+            # new L column: off-diagonals restricted to pattern of AI[:,j]
+            sel = (rownumber[bi] < 0) & (lhs[bi] != 0.0)
+            rows = bi[sel]
+            vals = lhs[rows] / pivot
+            Lcols_rows.append(rows.astype(np.int64))
+            Lcols_vals.append(vals)
+            Li.extend(rows.tolist())
+            Lp.append(len(Li))
+            num_free += 1
+        active[j] = False
+    control.debug(
+        Control.textline("Number of free variables in starting basis:")
+        + f"{num_free}\n")
+
+
+def _process_singletons(control, model, weights, basis, rownumber, active):
+    """Singleton columns with weighted entry >= 0.5 x row max
+    (reference: src/guess_basis.cc:112-146)."""
+    m, n = model.num_rows, model.num_cols
+    A = model.A
+    colcount = np.diff(A.indptr)
+    A_csr = model.A_csr
+    num_singletons = 0
+    for i in range(m):
+        if rownumber[i] >= 0:
+            continue
+        rowmax = 0.0
+        max_singleton = 0.0
+        jsingleton = -1
+        # structural entries of row i
+        seg = slice(A_csr.indptr[i], A_csr.indptr[i + 1])
+        for j, v in zip(A_csr.indices[seg], A_csr.data[seg]):
+            if not active[j]:
+                continue
+            a = abs(v) * weights[j]
+            rowmax = max(rowmax, a)
+            if a > max_singleton and colcount[j] == 1:
+                max_singleton = a
+                jsingleton = int(j)
+        # slack column n+i is a singleton in row i
+        j = n + i
+        if active[j]:
+            a = weights[j]     # |entry| = 1
+            rowmax = max(rowmax, a)
+            if a > max_singleton:
+                max_singleton = a
+                jsingleton = j
+        if max_singleton > 0.0 and max_singleton >= 0.5 * rowmax:
+            rownumber[i] = len(basis)
+            basis.append(jsingleton)
+            active[jsingleton] = False
+            num_singletons += 1
+    control.debug(
+        Control.textline("Number of singletons in starting basis:")
+        + f"{num_singletons}\n")
+
+
+def _process_remaining(control, model, weights, basis, rownumber, active):
+    """Weight-ordered maximum matching via augmenting paths
+    (reference: src/guess_basis.cc:151-204)."""
+    m, n = model.num_rows, model.num_cols
+    A = model.A
+    # AI column pattern arrays including slack columns
+    nnzA = A.indptr[-1]
+    Ap = np.concatenate([A.indptr.astype(np.int64),
+                         nnzA + 1 + np.arange(m, dtype=np.int64)])
+    Ai = np.concatenate([A.indices.astype(np.int64),
+                         np.arange(m, dtype=np.int64)])
+    # decreasing stable order by weight
+    colperm = np.argsort(-np.asarray(weights), kind="stable")
+
+    jmatch = np.full(m, -1, dtype=np.int64)
+    jmatch[rownumber >= 0] = -2
+    marked = np.full(n + m, -1, dtype=np.int64)
+    cheap = Ap[:n + m].copy()
+    work = np.empty(m + 1, dtype=np.int64)
+    work2 = np.empty(m + 1, dtype=np.int64)
+    work3 = np.empty(m + 1, dtype=np.int64)
+    num_matched = 0
+    num_failed = 0
+
+    for j in colperm:
+        j = int(j)
+        if not active[j]:
+            continue
+        if weights[j] == 0.0:
+            break
+        matched = augmenting_path(j, Ap, Ai, jmatch, cheap, marked,
+                                  work, work2, work3)
+        if matched:
+            basis.append(j)
+            num_matched += 1
+        else:
+            num_failed += 1
+        if num_failed >= 10 * (m - len(basis)):
+            break
+    sel = jmatch >= 0
+    assert np.all(rownumber[sel] < 0)
+    rownumber[sel] = m      # matched marker
+    control.debug(
+        Control.textline("Number of other columns matched:")
+        + f"{num_matched}\n"
+        + Control.textline("Number of other columns failed:")
+        + f"{num_failed}\n")

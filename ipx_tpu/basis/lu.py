@@ -181,6 +181,7 @@ def _load_lib():
     lib.ipxlu_num_updates.argtypes = [P]
     lib.ipxlu_fill_factor.restype = D
     lib.ipxlu_fill_factor.argtypes = [P]
+    lib.ipxlu_tri_solve.argtypes = [P, DA, I]
     _lib = lib
     return lib
 

@@ -1,0 +1,241 @@
+"""Maxvolume basis refinement ("Russian algorithm").
+
+Counterpart of the reference maxvolume (reference: src/maxvolume.{h,cc}):
+keep the basis approximately of maximum volume under the IPM column scaling.
+Two variants:
+
+ - sequential (parameter update_heuristic=0): passes over all nonbasic
+   columns, exchanging whenever the scaled tableau entry exceeds volume_tol
+   (reference: src/maxvolume.cc:14-94);
+ - heuristic (default): split tableau rows into 5 + m/rows_per_slice slices;
+   per slice compute column weights with ONE dense BTRAN, then repeatedly
+   exchange the column with the largest weight, rank-1-updating the weights
+   after each exchange, stopping the slice after maxskip_updates skips
+   (reference: src/maxvolume.cc:96-320).
+"""
+from __future__ import annotations
+
+from time import perf_counter
+
+import numpy as np
+
+from ..control import Control
+from ..status import Errflag, InterruptError
+from .basis import BASIC, NONBASIC, Basis
+from .indexed_vector import IndexedVector
+
+PIVOT_ZERO_TOL = 1e-7      # reference: src/kkt_solver_basis.h:33
+
+
+class Maxvolume:
+    def __init__(self, control: Control):
+        self.control = control
+        self.updates = 0
+        self.skipped = 0
+        self.passes = 0
+        self.slices = 0
+        self.volinc = 0.0
+        self.time = 0.0
+        self.tblnnz = 0
+        self.tblmax = 0.0
+        self.frobnorm_squared = 0.0
+
+    # ------------------------------------------------------------------
+    def run_sequential(self, colscale: np.ndarray, basis: Basis) -> int:
+        """reference: src/maxvolume.cc:14-94"""
+        md = basis.model
+        m, n = md.num_rows, md.num_cols
+        ftran = IndexedVector(m)
+        t0 = perf_counter()
+        errflag = 0
+
+        maxpasses = self.control.parameters.maxpasses
+        volumetol = max(self.control.parameters.volume_tol, 1.0)
+
+        invscale_basic = np.zeros(m)
+        for p in range(m):
+            j = int(basis.basis[p])
+            if basis.status_of(j) == BASIC:
+                invscale_basic[p] = 1.0 / colscale[j]
+
+        while self.passes < maxpasses or maxpasses < 0:
+            self.tblnnz = 0
+            self.tblmax = 0.0
+            self.frobnorm_squared = 0.0
+            updates_last = 0
+            candidates = list(np.argsort(colscale, kind="stable"))
+            while candidates:
+                j = int(candidates[-1])
+                dj = colscale[j]
+                if dj == 0.0:
+                    break
+                if basis.status_of(j) != NONBASIC:
+                    candidates.pop()
+                    continue
+                try:
+                    self.control.interrupt_check()
+                except InterruptError:
+                    errflag = int(Errflag.INTERRUPT_TIME)
+                    break
+                basis.solve_for_update(j, ftran)
+                nz = ftran.nonzero_indices()
+                v = np.abs(ftran.values[nz]) * invscale_basic[nz] * dj
+                self.tblnnz += int(np.count_nonzero(v))
+                self.frobnorm_squared += float(v @ v)
+                pmax = -1
+                vmax = 0.0
+                if v.size:
+                    k = int(np.argmax(v))
+                    vmax = float(v[k])
+                    pmax = int(nz[k])
+                self.tblmax = max(self.tblmax, vmax)
+                if vmax <= volumetol:
+                    self.skipped += 1
+                    candidates.pop()
+                    continue
+                jb = int(basis.basis[pmax])
+                errflag, exchanged = basis.exchange_if_stable(
+                    jb, j, ftran.values[pmax], -1)
+                if errflag:
+                    break
+                if not exchanged:
+                    continue
+                invscale_basic[pmax] = 1.0 / dj
+                updates_last += 1
+                self.volinc += np.log2(vmax)
+                candidates.pop()
+            self.updates += updates_last
+            self.passes += 1
+            if updates_last == 0 or errflag != 0:
+                break
+        self.time = perf_counter() - t0
+        return errflag
+
+    # ------------------------------------------------------------------
+    def run_heuristic(self, colscale: np.ndarray, basis: Basis) -> int:
+        """reference: src/maxvolume.cc:108-153"""
+        md = basis.model
+        m, n = md.num_rows, md.num_cols
+        t0 = perf_counter()
+        errflag = 0
+
+        num_slices = 5 + max(m // self.control.parameters.rows_per_slice, 0)
+        num_slices = min(num_slices, m)
+
+        invscale_basic = np.zeros(m)
+        for p in range(m):
+            j = int(basis.basis[p])
+            if basis.status_of(j) == BASIC:
+                invscale_basic[p] = 1.0 / colscale[j]
+        cs = np.zeros(n + m)
+        nb = basis.map2basis == -1
+        cs[nb] = colscale[nb]
+
+        perm = np.argsort(invscale_basic, kind="stable")
+        for s in range(num_slices):
+            tblrow_used = np.zeros(m, dtype=bool)
+            tblrow_used[perm[np.arange(m) % num_slices == s]] = True
+            errflag = self._driver(basis, cs, invscale_basic, tblrow_used)
+            if errflag:
+                break
+
+        self.time = perf_counter() - t0
+        self.passes = -1
+        self.slices = num_slices
+        return errflag
+
+    def _driver(self, basis: Basis, colscale, invscale_basic,
+                tblrow_used) -> int:
+        """reference: src/maxvolume.cc:202-320"""
+        md = basis.model
+        m, n = md.num_rows, md.num_cols
+        lhs = IndexedVector(m)
+        row = IndexedVector(n + m)
+        errflag = 0
+
+        volumetol = max(self.control.parameters.volume_tol, 1.0)
+        maxskip = self.control.parameters.maxskip_updates
+
+        # column weights: one dense BTRAN per slice
+        work = np.where(tblrow_used, invscale_basic, 0.0)
+        work = basis.solve_dense(work, "T")
+        aty = md.AIt_mul(work)
+        colweights = np.where(colscale != 0.0, aty * colscale, 0.0)
+
+        candidates: list = []
+        skipped = 0
+        while True:
+            if not candidates:
+                order = np.argsort(np.abs(colweights), kind="stable")
+                candidates = [int(order[-2]) if len(order) > 1
+                              else int(order[-1]), int(order[-1])]
+            jn = candidates[-1]
+            weight = colweights[jn]
+            if weight == 0.0:
+                break
+            try:
+                self.control.interrupt_check()
+            except InterruptError:
+                errflag = int(Errflag.INTERRUPT_TIME)
+                break
+
+            # max scaled FTRAN entry
+            basis.solve_for_update(jn, lhs)
+            nz = lhs.nonzero_indices()
+            raw = lhs.values[nz]
+            scaled = raw * colscale[jn] * invscale_basic[nz]
+            eligible = np.abs(raw) > PIVOT_ZERO_TOL
+            vabs = np.where(eligible, np.abs(scaled), 0.0)
+            if vabs.size == 0:
+                vmax = 0.0
+                pmax = 0
+            else:
+                k = int(np.argmax(vabs))
+                vmax = float(vabs[k])
+                pmax = int(nz[k])
+            # scale lhs in place (ScaleFtran semantics)
+            lhs.values[nz] = scaled
+
+            if vmax <= volumetol:
+                colweights[jn] = 0.0
+                colscale[jn] = 0.0
+                candidates.pop()
+                skipped += 1
+                if skipped > maxskip >= 0:
+                    break
+                continue
+
+            # recompute column weight from FTRAN
+            weight_recomp = float(np.sum(lhs.values[nz][tblrow_used[nz]]))
+
+            jb = int(basis.basis[pmax])
+            basis.tableau_row(jb, lhs, row, True)
+            pivot = row.values[jn]
+            if abs(pivot) < 1e-3:
+                self.control.debug(
+                    f" |pivot| {abs(pivot):.2e} (maxvolume)\n", 3)
+            errflag, exchanged = basis.exchange_if_stable(jb, jn, pivot, 0)
+            if errflag:
+                break
+            if not exchanged:
+                continue
+            self.updates += 1
+            self.volinc += np.log2(vmax)
+
+            dn = colscale[jn]
+            dbinv = invscale_basic[pmax]
+            colscale[jb] = 1.0 / invscale_basic[pmax]
+            invscale_basic[pmax] = 1.0 / colscale[jn]
+            colscale[jn] = 0.0
+
+            # rank-1 update of column weights
+            alpha = (float(tblrow_used[pmax]) - weight_recomp) / (dn * pivot)
+            rnz = row.nonzero_indices()
+            colweights[rnz] += alpha * row.values[rnz] * colscale[rnz]
+            colweights[jb] = float(tblrow_used[pmax]) + alpha / dbinv
+            colweights[jn] = 0.0
+            candidates = []
+
+        self.skipped += skipped
+        return errflag
+

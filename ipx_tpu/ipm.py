@@ -317,9 +317,11 @@ class IPM:
                        * (it.zl + maxd * step.zl))[blb]
             prods_u = ((it.xu + maxp * step.xu)
                        * (it.zu + maxd * step.zu))[bub]
+        # With no barrier terms left (all variables free/fixed) the centering
+        # quantities are unused; guard the division.
         num_finite = prods_l.size + prods_u.size
-        muaff = float(prods_l.sum() + prods_u.sum()) / num_finite
-        ratio = muaff / mu
+        muaff = float(prods_l.sum() + prods_u.sum()) / max(num_finite, 1)
+        ratio = muaff / mu if mu > 0.0 else 0.0
         sigma = ratio ** 3
 
         with np.errstate(invalid="ignore"):
@@ -358,7 +360,7 @@ class IPM:
             prods_u = ((it.xu + maxp * step.xu)
                        * (it.zu + maxd * step.zu))[bub]
         num_finite = prods_l.size + prods_u.size
-        mufull = float(prods_l.sum() + prods_u.sum()) / num_finite
+        mufull = float(prods_l.sum() + prods_u.sum()) / max(num_finite, 1)
         mufull /= gammaa
 
         alphap = 1.0

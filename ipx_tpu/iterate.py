@@ -447,7 +447,8 @@ class Iterate:
         z[fixed_b] = (zl - zu)[fixed_b]
 
         # boxed: decide side by zl*xu >= zu*xl, then activity by zl>=xl etc.
-        lower_side = zl * xu >= zu * xl
+        with np.errstate(invalid="ignore"):
+            lower_side = zl * xu >= zu * xl
         act_lb = boxed & lower_side & (zl >= xl)
         act_ub = boxed & ~lower_side & (zu >= xu)
         x[act_lb] = lb[act_lb]

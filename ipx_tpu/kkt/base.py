@@ -40,9 +40,9 @@ class KKTSolver:
     def basis_changes(self) -> int:
         return self._basis_changes()
 
-    @property
-    def basis(self):
-        return self._basis()
+    # `basis` is a plain attribute: None for solvers without a basis matrix
+    # (diag), set by implementations that maintain one (KKTSolverBasis).
+    basis = None
 
     # -- implementation hooks -----------------------------------------
     def _factorize(self, iterate, info: Info) -> None:

@@ -1,0 +1,321 @@
+"""Phase-2 KKT solver: basis-preconditioned conjugate residuals.
+
+Counterpart of the reference basis KKT solver (reference:
+src/kkt_solver_basis.{h,cc}), implementing the basis preconditioning
+algorithm of Schork & Gondzio [L. Schork, "Basis Preconditioning in Interior
+Point Methods", PhD thesis (2018), Section 6.4].
+
+Per-iteration Factorize = DropPrimal (pivot near-bound basic variables out or
+mark implied) + DropDual (pivot near-zero-dual nonbasic variables in or fix)
++ maxvolume refresh + refactorize + prepare the splitted operator
+(reference: src/kkt_solver_basis.cc:20-67). Solve reduces the KKT system to
+preconditioned normal equations, handling BASIC_FREE variables via extra
+B/B' solves (reference: src/kkt_solver_basis.cc:75-194).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..basis.basis import BASIC, BASIC_FREE, NONBASIC, Basis
+from ..basis.indexed_vector import IndexedVector
+from ..basis.maxvolume import Maxvolume
+from ..control import Control
+from ..info import Info
+from ..model import Model
+from .base import KKTSolver
+from .cr import ConjugateResiduals
+from .splitted_normal import SplittedNormalMatrix
+
+PIVOT_ZERO_TOL = 1e-7      # reference: src/kkt_solver_basis.h:33
+INF = np.inf
+
+
+class KKTSolverBasis(KKTSolver):
+    def __init__(self, control: Control, basis: Basis):
+        self.control = control
+        self.basis = basis
+        self.model: Model = basis.model
+        self.splitted = SplittedNormalMatrix(self.model)
+        nm = self.model.num_var_all
+        self.colscale = np.zeros(nm)
+        self.maxiter = -1
+        self._iters = 0
+        self.changes = 0
+        self.factorized = False
+
+    # ------------------------------------------------------------------
+    def _factorize(self, iterate, info: Info) -> None:
+        info.errflag = 0
+        self.factorized = False
+        self._iters = 0
+        self.changes = 0
+
+        self.colscale = iterate.scaling_factors()
+
+        # Drop degenerate variables unless the model looks infeasible
+        # (pobj < dobj), reference: src/kkt_solver_basis.cc:30-43.
+        if iterate.pobjective() >= iterate.dobjective():
+            self._drop_primal(iterate, info)
+            if info.errflag:
+                return
+            self._drop_dual(iterate, info)
+            if info.errflag:
+                return
+
+        maxvol = Maxvolume(self.control)
+        if self.control.parameters.update_heuristic == 0:
+            info.errflag = maxvol.run_sequential(self.colscale, self.basis)
+        else:
+            info.errflag = maxvol.run_heuristic(self.colscale, self.basis)
+        info.updates_ipm += maxvol.updates
+        info.time_maxvol += maxvol.time
+        info.maxvol_updates += maxvol.updates
+        info.maxvol_skipped += maxvol.skipped
+        info.maxvol_passes += max(maxvol.passes, 0)
+        info.volume_increase += maxvol.volinc
+        self.changes += maxvol.updates
+        if info.errflag:
+            return
+
+        if not self.basis.factorization_is_fresh:
+            info.errflag = self.basis.factorize()
+            if info.errflag:
+                return
+        self.splitted.prepare(self.basis, self.colscale)
+        self.factorized = True
+
+    # ------------------------------------------------------------------
+    def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info):
+        """reference: src/kkt_solver_basis.cc:75-194"""
+        md = self.model
+        m, n = md.num_rows, md.num_cols
+        basis = self.basis
+        info.errflag = 0
+        assert self.factorized
+
+        D = self.colscale
+        m2b = basis.map2basis
+        nonbasic = m2b == -1
+        free_basic = m2b >= m          # BASIC_FREE
+
+        # work = inv(B') v with v[p] = a[basis[p]] for free basic vars
+        free_pos_mask = basis.basic_free_mask()     # by position
+        num_free = int(free_pos_mask.sum())
+        work = np.zeros(m)
+        if num_free > 0:
+            bvars = basis.basis[free_pos_mask]
+            work[free_pos_mask] = a[bvars]
+            work = basis.solve_dense(work, "T")
+
+        # rhs = inv(B) (N D2_n (a[nonbasic] - N' work))
+        d2 = np.where(nonbasic, D * D, 0.0)
+        if num_free > 0:
+            atw = md.AIt_mul(work)
+            alpha = np.where(nonbasic, (a - atw) * d2, 0.0)
+        else:
+            alpha = np.where(nonbasic, a * d2, 0.0)
+        rhs = md.AI_mul(alpha)
+        rhs = basis.solve_dense(rhs, "N")
+
+        # work = inv(B) b
+        work = basis.solve_dense(b, "N")
+
+        # rhs[p] = (rhs[p]-work[p])/D[j] + D[j]*a[j] for non-free basic j
+        bvars_all = basis.basis
+        dbasic = D[bvars_all]
+        normal_basic = ~free_pos_mask
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rhs = np.where(normal_basic,
+                           (rhs - work) / dbasic + a[bvars_all] * dbasic,
+                           0.0)
+        assert np.all(np.isfinite(rhs[normal_basic]))
+
+        # permute into factorization position space
+        colperm = self.splitted.colperm
+        workp = rhs[colperm]
+
+        # CR on the preconditioned normal equations
+        self.splitted.reset_time()
+        lhs = np.zeros(m)
+        cr = ConjugateResiduals(self.control)
+        cr.solve(self.splitted, workp, tol, None, self.maxiter, lhs)
+        info.errflag = cr.errflag
+        info.kktiter2 += cr.iter
+        info.time_cr2 += cr.time
+        info.time_cr2_NNt += self.splitted.time_NNt
+        info.time_cr2_B += self.splitted.time_B
+        info.time_cr2_Bt += self.splitted.time_Bt
+        self._iters += cr.iter
+        if info.errflag:
+            return np.zeros(n + m), np.zeros(m)
+
+        # permute back
+        y = np.zeros(m)
+        y[colperm] = lhs
+
+        # recover dual solution: y[p] /= D[j] for basic, a[j] for free basic
+        with np.errstate(invalid="ignore", divide="ignore"):
+            y = np.where(normal_basic, y / dbasic, a[bvars_all])
+        y = basis.solve_dense(y, "T")
+
+        # x[nonbasic] and work = b - N x[nonbasic]
+        aty = md.AIt_mul(y)
+        x = np.where(nonbasic, (a - aty) * d2, 0.0)
+        work = b - md.AI_mul(np.where(nonbasic, x, 0.0))
+
+        # x[basic]
+        sol = basis.solve_dense(work, "N")
+        x[bvars_all] = sol
+        return x, y
+
+    def _iter(self) -> int:
+        return self._iters
+
+    def _basis_changes(self) -> int:
+        return self.changes
+
+    def _basis(self):
+        return self.basis
+
+    # ------------------------------------------------------------------
+    def _drop_primal(self, iterate, info: Info) -> None:
+        """Pivot near-bound basic variables out of the basis or mark them
+        implied (reference: src/kkt_solver_basis.cc:196-293)."""
+        md = self.model
+        m, n = md.num_rows, md.num_cols
+        basis = self.basis
+        xl, xu = iterate.xl, iterate.xu
+        zl, zu = iterate.zl, iterate.zu
+        btran = IndexedVector(m)
+        row = IndexedVector(n + m)
+        drop_primal = self.control.parameters.ipm_drop_primal
+        volume_tol = 2.0
+        info.errflag = 0
+
+        candidates = []
+        for p in range(m):
+            jb = int(basis.basis[p])
+            if basis.status_of(jb) != BASIC:
+                continue
+            if xl[jb] <= xu[jb]:
+                xj, zj = xl[jb], zl[jb]
+            else:
+                xj, zj = xu[jb], zu[jb]
+            if xj < 0.01 * zj and xj <= drop_primal:
+                candidates.append(jb)
+        if not candidates:
+            return
+
+        with np.errstate(divide="ignore"):
+            invscale_basic = 1.0 / self.colscale[basis.basis]
+        invscale_basic[~np.isfinite(invscale_basic)] = 0.0
+
+        while candidates:
+            jb = candidates[-1]
+            p = basis.position_of(jb)
+            s = invscale_basic[p]
+            basis.tableau_row(jb, btran, row, True)
+            nz = row.nonzero_indices()
+            vals = np.abs(row.values[nz])
+            v = np.where(vals > PIVOT_ZERO_TOL,
+                         vals * self.colscale[nz] * s, 0.0)
+            jmax = -1
+            if v.size:
+                k = int(np.argmax(v))
+                if v[k] > volume_tol:
+                    jmax = int(nz[k])
+            if jmax >= 0:
+                pivot = row.values[jmax]
+                if abs(pivot) < 1e-3:
+                    self.control.debug(
+                        f" |pivot| = {abs(pivot):.2e} (primal basic "
+                        "variable close to bound)\n", 3)
+                info.errflag, exchanged = basis.exchange_if_stable(
+                    jb, jmax, pivot, 1)
+                if info.errflag:
+                    return
+                if not exchanged:
+                    continue
+                invscale_basic[p] = 1.0 / self.colscale[jmax]
+                info.updates_ipm += 1
+                self.changes += 1
+            else:
+                with np.errstate(invalid="ignore"):
+                    lb_side = zl[jb] / xl[jb] > zu[jb] / xu[jb]
+                if lb_side:
+                    iterate.make_implied_lb(jb)
+                else:
+                    iterate.make_implied_ub(jb)
+                basis.free_basic_variable(jb)
+                invscale_basic[p] = 0.0
+                self.colscale[jb] = INF
+                info.primal_dropped += 1
+            candidates.pop()
+
+    def _drop_dual(self, iterate, info: Info) -> None:
+        """Pivot near-zero-dual nonbasic variables into the basis or fix them
+        (reference: src/kkt_solver_basis.cc:295-387)."""
+        md = self.model
+        m, n = md.num_rows, md.num_cols
+        basis = self.basis
+        xl, xu = iterate.xl, iterate.xu
+        zl, zu = iterate.zl, iterate.zu
+        ftran = IndexedVector(m)
+        drop_dual = self.control.parameters.ipm_drop_dual
+        volume_tol = 2.0
+        info.errflag = 0
+
+        candidates = []
+        nb = np.nonzero(basis.map2basis == -1)[0]
+        for jn in nb:
+            jn = int(jn)
+            if zl[jn] >= zu[jn]:
+                xj, zj = xl[jn], zl[jn]
+            else:
+                xj, zj = xu[jn], zu[jn]
+            if zj < 0.01 * xj and zj <= drop_dual:
+                candidates.append(jn)
+        if not candidates:
+            return
+
+        with np.errstate(divide="ignore"):
+            invscale_basic = 1.0 / self.colscale[basis.basis]
+        invscale_basic[~np.isfinite(invscale_basic)] = 0.0
+
+        while candidates:
+            jn = candidates[-1]
+            s = self.colscale[jn]
+            basis.solve_for_update(jn, ftran)
+            nz = ftran.nonzero_indices()
+            vals = np.abs(ftran.values[nz])
+            v = np.where(vals > PIVOT_ZERO_TOL,
+                         vals * invscale_basic[nz] * s, 0.0)
+            pmax = -1
+            if v.size:
+                k = int(np.argmax(v))
+                if v[k] > volume_tol:
+                    pmax = int(nz[k])
+            if pmax >= 0:
+                pivot = ftran.values[pmax]
+                if abs(pivot) < 1e-3:
+                    self.control.debug(
+                        f" |pivot| = {abs(pivot):.2e} (dual nonbasic "
+                        "variable close to zero)\n", 3)
+                jb = int(basis.basis[pmax])
+                info.errflag, exchanged = basis.exchange_if_stable(
+                    jb, jn, pivot, -1)
+                if info.errflag:
+                    return
+                if not exchanged:
+                    continue
+                invscale_basic[pmax] = 1.0 / self.colscale[jn]
+                info.updates_ipm += 1
+                self.changes += 1
+            else:
+                iterate.make_fixed(jn)
+                basis.fix_nonbasic_variable(jn)
+                self.colscale[jn] = 0.0
+                info.dual_dropped += 1
+            candidates.pop()

@@ -1,0 +1,125 @@
+"""Basis-preconditioned normal matrix operator.
+
+Counterpart of the reference splitted normal matrix (reference:
+src/splitted_normal_matrix.{h,cc}): matrix-vector products with
+
+    C = inv(B~) AI~ AI~' inv(B~') = I + inv(B~) N~ N~' inv(B~'),
+
+where [B N] is the basic/nonbasic column partition of AI, ~ denotes scaling
+by the interior point scaling factors, and everything is expressed in the
+position space (pivot order) of the fresh LU factorization. BASIC_FREE
+variables' rows/columns of C are unit vectors; NONBASIC_FIXED columns are
+dropped from N.
+
+The triangular solves run in the native kernel (position space, dense
+in/out); the N N' product is two scipy SpMVs. Timers mirror the reference
+(time_B/Bt/NNt, reference: src/splitted_normal_matrix.cc:72-88).
+"""
+from __future__ import annotations
+
+from time import perf_counter
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..model import Model
+from .cr import LinearOperator
+
+# which-codes of ipxlu_tri_solve
+_L, _U, _LT, _UT = 0, 1, 2, 3
+
+
+class SplittedNormalMatrix(LinearOperator):
+    def __init__(self, model: Model):
+        self.model = model
+        self.prepared = False
+        self.time_B = 0.0
+        self.time_Bt = 0.0
+        self.time_NNt = 0.0
+
+    def reset_time(self) -> None:
+        self.time_B = 0.0
+        self.time_Bt = 0.0
+        self.time_NNt = 0.0
+
+    def prepare(self, basis, colscale: np.ndarray) -> None:
+        """reference: src/splitted_normal_matrix.cc:18-66"""
+        md = self.model
+        m, n = md.num_rows, md.num_cols
+        self.prepared = False
+
+        lu = basis.lu
+        self._lu = lu
+        _, _, rowperm, self.colperm, _ = lu.get_factors()
+        rowperm_inv = np.empty(m, dtype=np.int64)
+        rowperm_inv[rowperm] = np.arange(m)
+
+        # scale factors of U's columns: position k <-> basis slot colperm[k]
+        basic_vars = basis.basis[self.colperm]
+        free_pos_mask = basis.basic_free_mask()[self.colperm]
+        s = np.where(free_pos_mask, 1.0, colscale[basic_vars])
+        assert np.all(np.isfinite(s)) and np.all(s > 0)
+        self.uscale = s
+        self.free_positions = np.nonzero(free_pos_mask)[0]
+
+        # N: nonbasic (status NONBASIC, not FIXED) columns of AI, rows
+        # permuted into position space, columns scaled.
+        nb = np.nonzero(basis.map2basis == -1)[0]
+        struct_nb = nb[nb < n]
+        slack_nb = nb[nb >= n]
+        Nstruct = md.A[:, struct_nb] if struct_nb.size else \
+            sp.csc_matrix((m, 0))
+        if slack_nb.size:
+            Nslack = sp.csc_matrix(
+                (np.ones(slack_nb.size),
+                 (slack_nb - n, np.arange(slack_nb.size))),
+                shape=(m, slack_nb.size))
+            N = sp.hstack([Nstruct, Nslack], format="csc")
+            scales = np.concatenate([colscale[struct_nb],
+                                     colscale[slack_nb]])
+        else:
+            N = Nstruct.tocsc()
+            scales = colscale[struct_nb]
+        # permute rows and scale columns
+        P = sp.csr_matrix(
+            (np.ones(m), (rowperm_inv, np.arange(m))), shape=(m, m))
+        N = (P @ N).tocsc()
+        N.data *= scales.repeat(np.diff(N.indptr))
+        self.N = N
+        self.NT = N.T.tocsr()
+        self.prepared = True
+
+    def _tri(self, x: np.ndarray, which: int) -> np.ndarray:
+        x = np.ascontiguousarray(x)
+        self._lu.lib.ipxlu_tri_solve(self._lu.handle, x, which)
+        return x
+
+    def _apply(self, rhs: np.ndarray, want_dot: bool):
+        """reference: src/splitted_normal_matrix.cc:90-117"""
+        assert self.prepared
+        s = self.uscale
+
+        # work = inv(B~') rhs: (U S)'(L+I)' w = rhs
+        t0 = perf_counter()
+        w = self._tri((rhs / s).copy(), _UT)
+        w = self._tri(w, _LT)
+        self.time_Bt += perf_counter() - t0
+
+        # lhs = N N' w
+        t0 = perf_counter()
+        u = self.NT @ w
+        lhs = self.N @ u
+        self.time_NNt += perf_counter() - t0
+
+        # lhs := inv(B~) lhs
+        t0 = perf_counter()
+        lhs = self._tri(lhs, _L)
+        lhs = self._tri(lhs, _U)
+        lhs /= s
+        self.time_B += perf_counter() - t0
+
+        lhs = lhs + rhs
+        if self.free_positions.size:
+            lhs[self.free_positions] = 0.0
+        dot = float(rhs @ lhs) if want_dot else None
+        return lhs, dot

@@ -821,6 +821,21 @@ ipxint ipxlu_update(void* h, double pivot) {
     return 0;
 }
 
+// In-place dense triangular solves in position space with the FRESH factors
+// (ignores etas and the row/column permutations). which: 0 = (L+I)x=b,
+// 1 = Ux=b, 2 = (L+I)'x=b, 3 = U'x=b. Used by the basis-preconditioned
+// normal operator, which works in the factorization's pivot order.
+void ipxlu_tri_solve(void* h, double* x, ipxint which) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    switch (which) {
+    case 0: dense_lsolve(lu.L, x, m); break;
+    case 1: dense_usolve(lu.U, lu.Udiag.data(), x, m); break;
+    case 2: dense_ltsolve(lu.Lt, x, m); break;
+    case 3: dense_utsolve(lu.Ut, lu.Udiag.data(), x, m); break;
+    }
+}
+
 ipxint ipxlu_need_fresh(void* h) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     if ((ipxint)lu.etas.size() >= lu.m)
