@@ -1,0 +1,228 @@
+"""On-device preconditioned Conjugate Residuals for the normal equations.
+
+TPU-native re-architecture of the phase-1 KKT solve (reference:
+src/kkt_solver_diag.cc + src/conjugate_residuals.cc): the ENTIRE CR loop runs
+as one jitted lax.while_loop on device, with the normal-matrix apply
+
+    C v = A (W_struct * (A' v)) + W_slack * v
+
+expressed over the flattened sorted-COO layout (ipx_tpu.sparse.DeviceMatrix)
+via gathers + segment sums, in float64. Host<->device traffic per solve is
+one rhs upload and one solution download.
+
+Safeguards mirror the host CR (reference: src/conjugate_residuals.cc:90-213):
+scaled inf-norm termination on the true residual, posdef checks via the fused
+curvature dots, and the 5-iteration monotonicity recheck of the
+preconditioned residual norm.
+"""
+from __future__ import annotations
+
+from functools import partial
+from time import perf_counter
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..model import Model
+from ..status import Errflag
+
+_jax = None
+
+
+def _get_jax():
+    """Lazy jax import with x64 enabled."""
+    global _jax
+    if _jax is None:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        _jax = jax
+    return _jax
+
+
+# error codes inside the device loop
+_OK = 0
+_ITER_LIMIT = 1
+_NOT_POSDEF = 2
+_PRECOND_NOT_POSDEF = 3
+_NO_PROGRESS = 4
+_INF_NAN = 5
+
+_ERRFLAG_MAP = {
+    _OK: 0,
+    _ITER_LIMIT: int(Errflag.CR_ITER_LIMIT),
+    _NOT_POSDEF: int(Errflag.CR_MATRIX_NOT_POSDEF),
+    _PRECOND_NOT_POSDEF: int(Errflag.CR_PRECOND_NOT_POSDEF),
+    _NO_PROGRESS: int(Errflag.CR_NO_PROGRESS),
+    _INF_NAN: int(Errflag.CR_INF_OR_NAN),
+}
+
+
+def _build_cr_fn(jax, nmd, m: int, n: int):
+    """Builds the jitted CR solve over the scatter-free SpMV operands
+    (ipx_tpu.ops.spmv.NormalMatrixDevice)."""
+    jnp = jax.numpy
+    lax = jax.lax
+
+    def matvec(dev, W, v):
+        del dev
+        return nmd.apply(W, v)
+
+    def cr(dev, W, diag, resscale, rhs, tol, maxiter):
+        inv_diag = 1.0 / diag
+
+        def C(v):
+            out = matvec(dev, W, v)
+            return out, jnp.dot(v, out)
+
+        def P(v):
+            out = v * inv_diag
+            return out, jnp.dot(v, out)
+
+        lhs0 = jnp.zeros(m, dtype=rhs.dtype)
+        residual0 = rhs
+        sresidual0, rpn0 = P(residual0)
+        Csres0, cdot0 = C(sresidual0)
+        step0 = sresidual0
+        Cstep0 = Csres0
+
+        # state: (lhs, residual, sresidual, Csres, step, Cstep, cdot,
+        #         resnorm_precond, iter, err, done)
+        state0 = (lhs0, residual0, sresidual0, Csres0, step0, Cstep0,
+                  cdot0, rpn0, jnp.int64(0), jnp.int64(_OK), jnp.bool_(False))
+
+        def cond(state):
+            return ~state[10]
+
+        def body(state):
+            (lhs, residual, sresidual, Csres, step, Cstep, cdot, rpn,
+             it, err, done) = state
+
+            resnorm = jnp.max(jnp.abs(resscale * residual))
+            converged = resnorm <= tol
+            hit_limit = it >= maxiter
+            not_posdef = cdot <= 0.0
+
+            precond_Cstep, pdot = P(Cstep)
+            precond_bad = pdot <= 0.0
+            alpha = cdot / pdot
+            bad_alpha = ~jnp.isfinite(alpha)
+
+            lhs_n = lhs + alpha * step
+            residual_n = residual - alpha * Cstep
+            sresidual_n = sresidual - alpha * precond_Cstep
+            Csres_n, cdot_n = C(sresidual_n)
+            beta = cdot_n / cdot
+            step_n = sresidual_n + beta * step
+            Cstep_n = Csres_n + beta * Cstep
+            it_n = it + 1
+
+            # every 5 iterations: recompute preconditioned residual and
+            # require monotone decrease (lax.cond so the extra matvec only
+            # runs on recheck iterations)
+            do_recheck = (it_n % 5) == 0
+
+            def recheck(args):
+                residual_n, sres_n, Csres_n, cdot_n, rpn = args
+                sres_re, rsdot = P(residual_n)
+                Csres_re, cdot_re = C(sres_re)
+                stagnated = rsdot >= rpn
+                return sres_re, Csres_re, cdot_re, rsdot, stagnated
+
+            def norecheck(args):
+                residual_n, sres_n, Csres_n, cdot_n, rpn = args
+                return sres_n, Csres_n, cdot_n, rpn, jnp.bool_(False)
+
+            (sresidual_n, Csres_n, cdot_n, rpn_n, stagnated) = lax.cond(
+                do_recheck, recheck, norecheck,
+                (residual_n, sresidual_n, Csres_n, cdot_n, rpn))
+
+            err_n = jnp.where(
+                converged, _OK,
+                jnp.where(hit_limit, _ITER_LIMIT,
+                          jnp.where(not_posdef, _NOT_POSDEF,
+                                    jnp.where(precond_bad,
+                                              _PRECOND_NOT_POSDEF,
+                                              jnp.where(bad_alpha, _INF_NAN,
+                                                        jnp.where(stagnated,
+                                                                  _NO_PROGRESS,
+                                                                  _OK))))))
+            stop = converged | hit_limit | not_posdef | precond_bad \
+                | bad_alpha | stagnated
+
+            # if stopping before the update, keep the previous state
+            keep = converged | hit_limit | not_posdef | precond_bad \
+                | bad_alpha
+            lhs_o = jnp.where(keep, lhs, lhs_n)
+            residual_o = jnp.where(keep, residual, residual_n)
+            sresidual_o = jnp.where(keep, sresidual, sresidual_n)
+            Csres_o = jnp.where(keep, Csres, Csres_n)
+            step_o = jnp.where(keep, step, step_n)
+            Cstep_o = jnp.where(keep, Cstep, Cstep_n)
+            cdot_o = jnp.where(keep, cdot, cdot_n)
+            rpn_o = jnp.where(keep, rpn, rpn_n)
+            it_o = jnp.where(keep, it, it_n)
+
+            return (lhs_o, residual_o, sresidual_o, Csres_o, step_o,
+                    Cstep_o, cdot_o, rpn_o, it_o, err_n, stop)
+
+        state = lax.while_loop(cond, body, state0)
+        return state[0], state[8], state[9]
+
+    return jax.jit(cr)
+
+
+class DeviceNormalCR:
+    """Per-factorization device CR solver used by KKTSolverDiag."""
+
+    # Minimum problem size for the device path to pay off in auto mode.
+    MIN_NNZ_AUTO = 20_000
+
+    _fn_cache: dict = {}
+
+    @classmethod
+    def worthwhile(cls, model: Model) -> bool:
+        try:
+            jax = _get_jax()
+        except Exception:
+            return False
+        if model.A is None or model.A.nnz < cls.MIN_NNZ_AUTO:
+            return False
+        return True
+
+    def __init__(self, model: Model, W: np.ndarray, diag: np.ndarray,
+                 resscale: np.ndarray):
+        jax = _get_jax()
+        jnp = jax.numpy
+        self.jax = jax
+        self.model = model
+        m, n = model.num_rows, model.num_cols
+        self.m = m
+
+        # build (or reuse) the scatter-free SpMV operands and the jitted CR
+        from .spmv import NormalMatrixDevice
+        if not hasattr(model, "_normal_device"):
+            model._normal_device = NormalMatrixDevice(model.A)
+            model._device_cr_fn = _build_cr_fn(jax, model._normal_device,
+                                               m, n)
+        self._fn = model._device_cr_fn
+        self._dev = 0   # operands are closed over in the jitted fn
+        self._W = jnp.asarray(W)
+        self._diag = jnp.asarray(diag)
+        self._resscale = jnp.asarray(resscale)
+
+    def solve(self, rhs: np.ndarray, tol: float, maxiter: int
+              ) -> Tuple[np.ndarray, int, int, float, float]:
+        """Returns (y, iters, errflag, total_time, matvec_time_estimate)."""
+        jnp = self.jax.numpy
+        if maxiter < 0:
+            maxiter = self.m + 100
+        t0 = perf_counter()
+        lhs, iters, err = self._fn(self._dev, self._W, self._diag,
+                                   self._resscale, jnp.asarray(rhs),
+                                   jnp.float64(tol), jnp.int64(maxiter))
+        lhs = np.asarray(lhs)
+        iters = int(iters)
+        err = _ERRFLAG_MAP[int(err)]
+        dt = perf_counter() - t0
+        # attribute ~80% of loop time to the matvec (dominant cost)
+        return lhs, iters, err, dt, 0.8 * dt

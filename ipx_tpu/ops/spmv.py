@@ -1,0 +1,150 @@
+"""Scatter-free sparse matrix-vector products for TPU.
+
+The XLA TPU pipeline on the target backend compiles 2D gathers
+(take_along_axis), per-lane cumulative sums (axis 0), and matmuls — but NOT
+1D gathers, scatters, or segment reductions. These primitives therefore
+express the normal-matrix products entirely through:
+
+    gather (N,1)  +  lane-major cumsum  +  128x128 triangular matmul
+    +  boundary-difference segment reduction over SORTED segments.
+
+For a CSR matrix (row-sorted nonzeros):
+
+    (A u)[i] = csum[rowptr[i+1]] - csum[rowptr[i]],
+    csum = prefix-sum of vals * u[cols].
+
+The flat prefix sum is computed lane-major: reshape to (LANES, R), transpose,
+cumsum along the sublane axis (supported), then add per-lane offsets obtained
+with one (LANES x LANES) strictly-upper-triangular matmul.
+
+All in float64 (XLA emulates f64 elementwise/matmul on TPU). This layout is
+also the building block for the sharded (row-block) apply in
+ipx_tpu.parallel.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+LANES = 128
+
+
+def _pad_to(x: np.ndarray, mult: int, fill) -> np.ndarray:
+    k = (-len(x)) % mult
+    if k:
+        return np.concatenate([x, np.full(k, fill, dtype=x.dtype)])
+    return x
+
+
+class SpmvOperand:
+    """Host-side preprocessed arrays for one CSR/CSC direction."""
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray,
+                 data: np.ndarray, num_segments: int):
+        import jax.numpy as jnp
+        nnz = len(data)
+        idx = _pad_to(indices.astype(np.int64), LANES, 0)
+        vals = _pad_to(data.astype(np.float64), LANES, 0.0)
+        self.N = len(vals)
+        self.R = self.N // LANES
+        self.gather_idx = jnp.asarray(idx).reshape(-1, 1)
+        self.vals = jnp.asarray(vals)
+        # boundary pointers into the extended prefix-sum array
+        self.starts = jnp.asarray(indptr[:-1].astype(np.int64)).reshape(-1, 1)
+        self.ends = jnp.asarray(indptr[1:].astype(np.int64)).reshape(-1, 1)
+        self.num_segments = num_segments
+
+
+_TRI_NP = np.triu(np.ones((LANES, LANES)), k=1)
+
+
+def _tri():
+    # converted per use: a numpy constant is safe to close over in any
+    # trace, whereas caching a traced array would leak tracers
+    import jax.numpy as jnp
+    return jnp.asarray(_TRI_NP)
+
+
+def flat_cumsum(x, R: int):
+    """Prefix sum of a flat (R*LANES,) array, lane-major decomposition."""
+    import jax.numpy as jnp
+    X = x.reshape(LANES, R).T            # X[r, l] = x[l*R + r]
+    C = jnp.cumsum(X, axis=0)            # per-lane prefix (axis 0 supported)
+    lane_totals = C[-1, :]
+    offsets = lane_totals @ _tri()       # exclusive prefix over lanes
+    C = C + offsets[None, :]
+    return C.T.reshape(-1)
+
+
+def apply_csr(op: SpmvOperand, u):
+    """Computes A @ u for the CSR operand (or A' @ v for a CSC operand of
+    the same matrix): gather - multiply - prefix-sum - boundary diff."""
+    import jax.numpy as jnp
+    g = jnp.take_along_axis(u.reshape(-1, 1), op.gather_idx, axis=0)[:, 0]
+    contrib = op.vals * g
+    c = flat_cumsum(contrib, op.R)
+    cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
+    hi = jnp.take_along_axis(cext.reshape(-1, 1), op.ends, axis=0)[:, 0]
+    lo = jnp.take_along_axis(cext.reshape(-1, 1), op.starts, axis=0)[:, 0]
+    return hi - lo
+
+
+def apply_csr_batched(op: SpmvOperand, U):
+    """Batched A @ U for U of shape (n, B): same pattern with 2D lanes.
+
+    The gather/boundary lookups become axis-0 2D gathers directly (no
+    reshape); the prefix sum runs per batch column via cumsum(axis=0) over
+    (N, B) — supported since axis 0 is the sublane axis.
+    """
+    import jax.numpy as jnp
+    B = U.shape[1]
+    g = jnp.take_along_axis(U, jnp.broadcast_to(op.gather_idx, (op.N, B)),
+                            axis=0)
+    contrib = op.vals[:, None] * g
+    c = jnp.cumsum(contrib, axis=0)
+    cext = jnp.concatenate([jnp.zeros((1, B), dtype=c.dtype), c], axis=0)
+    m = op.starts.shape[0]
+    hi = jnp.take_along_axis(cext, jnp.broadcast_to(op.ends, (m, B)), axis=0)
+    lo = jnp.take_along_axis(cext, jnp.broadcast_to(op.starts, (m, B)),
+                             axis=0)
+    return hi - lo
+
+
+class NormalMatrixDevice:
+    """Device-resident AI W AI' apply built from two SpmvOperands.
+
+    C v = A (W_struct * (A' v)) + W_slack * v
+    """
+
+    def __init__(self, A_csc: sp.csc_matrix):
+        A_csr = A_csc.tocsr()
+        A_csr.sort_indices()
+        m, n = A_csc.shape
+        self.m, self.n = m, n
+        # CSR operand computes A u; CSC operand computes A' v
+        self.op_A = SpmvOperand(A_csr.indptr, A_csr.indices, A_csr.data, m)
+        self.op_At = SpmvOperand(A_csc.indptr, A_csc.indices, A_csc.data, n)
+
+    def apply(self, W, v):
+        """Single-vector C v in f64."""
+        u = apply_csr(self.op_At, v)
+        u = u * W[:self.n]
+        out = apply_csr(self.op_A, u)
+        return out + W[self.n:] * v
+
+    def apply_batched(self, W, V):
+        """Batched C V for V (m, B); W (n+m, B) per-scenario weights."""
+        U = apply_csr_batched(self.op_At, V)
+        U = U * W[:self.n]
+        out = apply_csr_batched(self.op_A, U)
+        return out + W[self.n:] * V
+
+    def apply_batched_struct(self, U):
+        """Batched structural product A @ U for U (n, B)."""
+        return apply_csr_batched(self.op_A, U)
+
+    def applyT_batched_struct(self, V):
+        """Batched structural product A' @ V for V (m, B)."""
+        return apply_csr_batched(self.op_At, V)

@@ -1,0 +1,399 @@
+"""Batched scenario IPM: solve many LPs sharing one constraint matrix.
+
+New capability with no counterpart in the reference (see SURVEY.md §2.3):
+a fleet of LPs with a COMMON sparsity pattern A but perturbed rhs b[k] and
+objective c[k] (scenario sets) solved simultaneously, with the ENTIRE
+phase-1 interior point method — starting point, predictor-corrector with
+batched diagonal-preconditioned CR, step sizes, termination — as jitted
+device code over a scenario batch axis. Per-scenario convergence masks
+freeze finished scenarios while the rest continue.
+
+The math per scenario is the reference phase-1 algorithm (reference:
+src/ipm.cc, src/kkt_solver_diag.cc) restricted to the barrier/free states
+(states never change before the basis phase switch). All arrays are
+(batch, dim) in float64; matvecs run through the scatter-free SpMV
+(ipx_tpu.ops.spmv).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.spmv import NormalMatrixDevice
+
+INF = np.inf
+
+
+@dataclasses.dataclass
+class BatchedLp:
+    """B scenario LPs min c_k'x st A x + slack = b_k, lb <= x <= ub
+    (shared A and bounds, per-scenario b and c over structural part)."""
+    A: sp.csc_matrix
+    b: np.ndarray          # (B, m)
+    c: np.ndarray          # (B, n+m)
+    lb: np.ndarray         # (n+m,)
+    ub: np.ndarray         # (n+m,)
+
+    @property
+    def batch(self) -> int:
+        return self.b.shape[0]
+
+
+def _jx():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+class BatchedPhase1Solver:
+    """Host wrapper around the jitted batched IPM iteration."""
+
+    def __init__(self, lp: BatchedLp, feasibility_tol=1e-6,
+                 optimality_tol=1e-8, kkt_tol=0.3, cr_maxiter=500,
+                 maxiter=100):
+        jax = _jx()
+        jnp = jax.numpy
+        self.jax = jax
+        self.lp = lp
+        m, n = lp.A.shape
+        self.m, self.n = m, n
+        nm = n + m
+        self.nmd = NormalMatrixDevice(lp.A)
+
+        self.static = dict(
+            lb=jnp.asarray(lp.lb), ub=jnp.asarray(lp.ub),
+            finl=jnp.isfinite(jnp.asarray(lp.lb)),
+            finu=jnp.isfinite(jnp.asarray(lp.ub)),
+            norm_bounds=float(max(
+                np.abs(lp.b).max(initial=0.0),
+                np.abs(lp.lb[np.isfinite(lp.lb)]).max(initial=0.0),
+                np.abs(lp.ub[np.isfinite(lp.ub)]).max(initial=0.0))),
+            norm_c=float(np.abs(lp.c).max(initial=0.0)),
+            feasibility_tol=feasibility_tol,
+            optimality_tol=optimality_tol,
+            kkt_tol=kkt_tol,
+            cr_maxiter=cr_maxiter,
+        )
+        self.maxiter = maxiter
+        self.bT = jnp.asarray(lp.b.T)          # (m, B)
+        self.cT = jnp.asarray(lp.c.T)          # (nm, B)
+
+        self._start_fn = jax.jit(self._starting_point)
+        self._step_fn = jax.jit(self._ipm_step)
+
+    # ------------------------------------------------------------------
+    # batched linear algebra helpers (column-major batch: arrays (dim, B))
+    # ------------------------------------------------------------------
+    def _AI_mul(self, X):
+        n = self.n
+        return self.nmd.apply_batched_struct(X[:n]) + X[n:]
+
+    def _AIt_mul(self, Y):
+        jnp = self.jax.numpy
+        return jnp.concatenate([self.nmd.applyT_batched_struct(Y), Y], axis=0)
+
+    def _normal_apply(self, W, V):
+        return self.nmd.apply_batched(W, V)
+
+    def _cr_solve(self, W, diag, resscale, RHS, tol):
+        """Batched preconditioned CR on the normal equations: solves
+        (AI W AI') Y = RHS per scenario to scaled-infnorm tol (per-scenario
+        vector). Fixed-iteration while loop with per-scenario freeze."""
+        jax = self.jax
+        jnp = jax.numpy
+        lax = jax.lax
+        m = self.m
+        inv_diag = 1.0 / diag
+
+        def C(V):
+            out = self._normal_apply(W, V)
+            return out, jnp.sum(V * out, axis=0)
+
+        def P(V):
+            out = V * inv_diag
+            return out, jnp.sum(V * out, axis=0)
+
+        Y0 = jnp.zeros_like(RHS)
+        R0 = RHS
+        S0, _ = P(R0)
+        CS0, cdot0 = C(S0)
+
+        state0 = (Y0, R0, S0, CS0, S0, CS0, cdot0, jnp.int64(0))
+
+        def cond(state):
+            _, R, *_, it = state
+            resnorm = jnp.max(jnp.abs(resscale * R), axis=0)
+            return (it < self.static["cr_maxiter"]) & jnp.any(resnorm > tol)
+
+        def body(state):
+            Y, R, S, CS, D, CD, cdot, it = state
+            resnorm = jnp.max(jnp.abs(resscale * R), axis=0)
+            active = resnorm > tol                     # (B,)
+
+            PCD, pdot = P(CD)
+            alpha = jnp.where((pdot > 0) & active, cdot / pdot, 0.0)
+            Y = Y + alpha * D
+            R = R - alpha * CD
+            S = S - alpha * PCD
+            CS, cdot_new = C(S)
+            beta = jnp.where(cdot > 0, cdot_new / cdot, 0.0)
+            beta = jnp.where(active, beta, 0.0)
+            D = S + beta * D
+            CD = CS + beta * CD
+            return (Y, R, S, CS, D, CD, cdot_new, it + 1)
+
+        state = lax.while_loop(cond, body, state0)
+        return state[0], state[7]
+
+    # ------------------------------------------------------------------
+    def _starting_point(self, dummy):
+        """Batched version of the reference starting point procedure
+        (reference: src/ipm.cc:125-259)."""
+        jax = self.jax
+        jnp = jax.numpy
+        st = self.static
+        m, n = self.m, self.n
+        nm = n + m
+        B = self.bT.shape[1]
+        lb, ub = st["lb"][:, None], st["ub"][:, None]
+        finl, finu = st["finl"][:, None], st["finu"][:, None]
+
+        W1 = jnp.ones((nm, B))
+        diag = self._diag_ones()      # diag(AI AI') for the W = I solves
+
+        X = jnp.clip(jnp.zeros((nm, B)), lb, ub)
+        RB = self.bT - self._AI_mul(X)
+        tol = 0.1 * jnp.max(jnp.abs(RB), axis=0) + 1e-300
+        DY, _ = self._cr_solve(W1, diag, jnp.ones((m, 1)), RB, tol)
+        DX = self._AIt_mul(DY)             # W = I: x = AI'(y)
+        X = X + DX
+
+        XL = X - lb
+        XU = ub - X
+        xinfeas = jnp.maximum(jnp.max(jnp.where(finl, -XL, 0.0), axis=0),
+                              jnp.max(jnp.where(finu, -XU, 0.0), axis=0))
+        xshift = 1.0 + 1.5 * jnp.maximum(xinfeas, 0.0)
+        XL = XL + xshift
+        XU = XU + xshift
+
+        # dual: least squares AI'y = c
+        tolc = 0.1 * jnp.max(jnp.abs(self.cT), axis=0) + 1e-300
+        CB = self._AI_mul(W1 * self.cT)
+        Y, _ = self._cr_solve(W1, diag, jnp.ones((m, 1)), CB, tolc)
+        Z = self.cT - self._AIt_mul(Y)
+
+        cnorm = jnp.sqrt(jnp.sum(self.cT ** 2, axis=0))
+        znorm = jnp.sqrt(jnp.sum(Z ** 2, axis=0))
+        rho = 0.05
+        fixup = znorm < rho * cnorm
+        Z = jnp.where(fixup, Z + rho * self.cT, Z)
+        Y = jnp.where(fixup, (1.0 - rho) * Y, Y)
+
+        boxed = finl & finu
+        ZL = jnp.where(boxed, 0.5 * Z, jnp.where(finl, Z, 0.0))
+        ZU = jnp.where(boxed, -0.5 * Z, jnp.where(finu & ~finl, -Z, 0.0))
+        zinfeas = jnp.maximum(jnp.max(jnp.where(finl, -ZL, 0.0), axis=0),
+                              jnp.max(jnp.where(finu, -ZU, 0.0), axis=0))
+        zshift = 1.0 + 1.5 * jnp.maximum(zinfeas, 0.0)
+        ZL = jnp.where(finl, ZL + zshift, 0.0)
+        ZU = jnp.where(finu, ZU + zshift, 0.0)
+
+        xsum = 1.0 + jnp.sum(jnp.where(finl, XL, 0.0), axis=0) \
+            + jnp.sum(jnp.where(finu, XU, 0.0), axis=0)
+        zsum = 1.0 + jnp.sum(jnp.where(finl, ZL, 0.0), axis=0) \
+            + jnp.sum(jnp.where(finu, ZU, 0.0), axis=0)
+        mu = 1.0 + jnp.sum(jnp.where(finl, XL * ZL, 0.0), axis=0) \
+            + jnp.sum(jnp.where(finu, XU * ZU, 0.0), axis=0)
+        XL = XL + 0.5 * mu / zsum
+        XU = XU + 0.5 * mu / zsum
+        ZL = jnp.where(finl, ZL + 0.5 * mu / xsum, 0.0)
+        ZU = jnp.where(finu, ZU + 0.5 * mu / xsum, 0.0)
+
+        XL = jnp.where(finl, XL, INF)
+        XU = jnp.where(finu, XU, INF)
+        return dict(X=X, XL=XL, XU=XU, Y=Y, ZL=ZL, ZU=ZU,
+                    done=jnp.zeros(self.bT.shape[1], dtype=bool),
+                    iters=jnp.zeros(self.bT.shape[1], dtype=jnp.int64))
+
+    def _diag_ones(self):
+        """diag(AI AI') as a device constant (W = 1)."""
+        jnp = self.jax.numpy
+        A2 = self.lp.A.copy()
+        A2.data = A2.data ** 2
+        d = np.asarray(A2.sum(axis=1)).ravel() + 1.0
+        return jnp.asarray(d)[:, None]
+
+    # ------------------------------------------------------------------
+    def _residuals(self, S):
+        jnp = self.jax.numpy
+        st = self.static
+        lb, ub = st["lb"][:, None], st["ub"][:, None]
+        finl, finu = st["finl"][:, None], st["finu"][:, None]
+        RB = self.bT - self._AI_mul(S["X"])
+        RC = self.cT - self._AIt_mul(S["Y"]) - S["ZL"] + S["ZU"]
+        RL = jnp.where(finl, lb - S["X"] + S["XL"], 0.0)
+        RU = jnp.where(finu, ub - S["X"] - S["XU"], 0.0)
+        return RB, RC, RL, RU
+
+    def _mu_of(self, S):
+        jnp = self.jax.numpy
+        st = self.static
+        finl, finu = st["finl"][:, None], st["finu"][:, None]
+        num = jnp.sum(finl) + jnp.sum(finu)
+        comp = jnp.sum(jnp.where(finl, S["XL"] * S["ZL"], 0.0), axis=0) \
+            + jnp.sum(jnp.where(finu, S["XU"] * S["ZU"], 0.0), axis=0)
+        return comp / jnp.maximum(num, 1)
+
+    def _ipm_step(self, S):
+        """One batched Mehrotra predictor-corrector iteration."""
+        jax = self.jax
+        jnp = jax.numpy
+        st = self.static
+        m, n = self.m, self.n
+        finl, finu = st["finl"][:, None], st["finu"][:, None]
+
+        RB, RC, RL, RU = self._residuals(S)
+        XL, XU, ZL, ZU = S["XL"], S["XU"], S["ZL"], S["ZU"]
+        mu = self._mu_of(S)
+
+        # convergence test (feasible && optimal)
+        pres = jnp.maximum(jnp.max(jnp.abs(RB), axis=0),
+                           jnp.maximum(jnp.max(jnp.abs(RL), axis=0),
+                                       jnp.max(jnp.abs(RU), axis=0)))
+        dres = jnp.max(jnp.abs(RC), axis=0)
+        pobj = jnp.sum(self.cT * S["X"], axis=0)
+        dobj = jnp.sum(self.bT * S["Y"], axis=0) \
+            + jnp.sum(jnp.where(finl, st["lb"][:, None] * ZL, 0.0), axis=0) \
+            - jnp.sum(jnp.where(finu, st["ub"][:, None] * ZU, 0.0), axis=0)
+        gap = jnp.abs(pobj - dobj) / (1.0 + 0.5 * jnp.abs(pobj + dobj))
+        feas = (pres <= st["feasibility_tol"] * (1.0 + st["norm_bounds"])) \
+            & (dres <= st["feasibility_tol"] * (1.0 + st["norm_c"]))
+        done = S["done"] | (feas & (gap <= st["optimality_tol"]))
+
+        # KKT weights
+        G = jnp.where(finl, ZL / XL, 0.0) + jnp.where(finu, ZU / XU, 0.0)
+        regval = jnp.minimum(mu, jnp.min(jnp.where(G > 0, G, INF), axis=0))
+        W = jnp.where(G > 0, 1.0 / G, 1.0 / regval)
+        A2 = self._diag_w(W)
+        resscale = 1.0 / jnp.sqrt(W[n:])
+        tol = st["kkt_tol"] * jnp.sqrt(jnp.maximum(mu, 1e-300))
+
+        def newton(SL, SU):
+            RHS1 = -RC
+            RHS1 = RHS1 + jnp.where(finl, (SL + ZL * RL) / XL, 0.0)
+            RHS1 = RHS1 - jnp.where(finu, (SU - ZU * RU) / XU, 0.0)
+            RHS2 = RB
+            # reduce to normal equations
+            rhs = self._AI_mul(W * RHS1) - RHS2
+            DY, cr_iters = self._cr_solve(W, A2, resscale, rhs, tol)
+            ATY = self._AIt_mul(DY)
+            DX = W * (RHS1 - ATY)
+            # slack part: x_slack = rhs2 - A x_struct (keeps residual in
+            # the slack rows, reference: src/kkt_solver_diag.cc:107-118)
+            DX = jnp.concatenate(
+                [DX[:n],
+                 RHS2 - self.nmd.apply_batched_struct(DX[:n])], axis=0)
+            DYn = -DY
+            DXL = jnp.where(finl | finu, DX - RL, 0.0)
+            DZL = jnp.where(finl | finu, (SL - ZL * DXL) / XL, 0.0)
+            DXU = jnp.where(finl | finu, RU - DX, 0.0)
+            DZU = jnp.where(finl | finu, (SU - ZU * DXU) / XU, 0.0)
+            ATDY = self._AIt_mul(DYn)
+            lower = ZL * XU >= ZU * XL
+            use_l = (finl | finu) & jnp.isfinite(XL) \
+                & (~jnp.isfinite(XU) | lower)
+            use_u = (finl | finu) & jnp.isfinite(XU) & ~use_l
+            DZL = jnp.where(use_l, RC + DZU - ATDY, DZL)
+            DZU = jnp.where(use_u, -RC + DZL + ATDY, DZU)
+            DXL = jnp.where(jnp.isfinite(DXL), DXL, 0.0)
+            DXU = jnp.where(jnp.isfinite(DXU), DXU, 0.0)
+            DZL = jnp.where(jnp.isfinite(DZL), DZL, 0.0)
+            DZU = jnp.where(jnp.isfinite(DZU), DZU, 0.0)
+            return DX, DXL, DXU, DYn, DZL, DZU, cr_iters
+
+        # predictor
+        SL = jnp.where(finl, -XL * ZL, 0.0)
+        SU = jnp.where(finu, -XU * ZU, 0.0)
+        DX, DXL, DXU, DY, DZL, DZU, it1 = newton(SL, SU)
+
+        maxp = jnp.minimum(_step_batch(self.jax, XL, DXL, finl),
+                           _step_batch(self.jax, XU, DXU, finu))
+        maxd = jnp.minimum(_step_batch(self.jax, ZL, DZL, finl),
+                           _step_batch(self.jax, ZU, DZU, finu))
+        num_fin = jnp.sum(finl) + jnp.sum(finu)
+        muaff = (jnp.sum(jnp.where(finl, (XL + maxp * DXL)
+                                   * (ZL + maxd * DZL), 0.0), axis=0)
+                 + jnp.sum(jnp.where(finu, (XU + maxp * DXU)
+                                     * (ZU + maxd * DZU), 0.0), axis=0)) \
+            / jnp.maximum(num_fin, 1)
+        sigma = (muaff / jnp.maximum(mu, 1e-300)) ** 3
+
+        # corrector (combined direction)
+        SL = jnp.where(finl, -XL * ZL + sigma * mu - DXL * DZL, 0.0)
+        SU = jnp.where(finu, -XU * ZU + sigma * mu - DXU * DZU, 0.0)
+        DX, DXL, DXU, DY, DZL, DZU, it2 = newton(SL, SU)
+
+        # step sizes with boundary buffer gamma_f = 0.9
+        gammaf = 0.9
+        maxp = jnp.minimum(_step_batch(self.jax, XL, DXL, finl),
+                           _step_batch(self.jax, XU, DXU, finu))
+        maxd = jnp.minimum(_step_batch(self.jax, ZL, DZL, finl),
+                           _step_batch(self.jax, ZU, DZU, finu))
+        alphap = jnp.minimum(gammaf * maxp + (1 - gammaf) * 1.0, 1.0 - 1e-6)
+        alphad = jnp.minimum(gammaf * maxd + (1 - gammaf) * 1.0, 1.0 - 1e-6)
+        alphap = jnp.minimum(alphap, maxp * (1 - 1e-12))
+        alphad = jnp.minimum(alphad, maxd * (1 - 1e-12))
+
+        upd = ~done
+        BARRIER_MIN = 1e-30
+        X = jnp.where(upd, S["X"] + alphap * DX, S["X"])
+        XLn = jnp.where(upd & finl,
+                        jnp.maximum(XL + alphap * DXL, BARRIER_MIN), XL)
+        XUn = jnp.where(upd & finu,
+                        jnp.maximum(XU + alphap * DXU, BARRIER_MIN), XU)
+        Y = jnp.where(upd, S["Y"] + alphad * DY, S["Y"])
+        ZLn = jnp.where(upd & finl,
+                        jnp.maximum(ZL + alphad * DZL, BARRIER_MIN), ZL)
+        ZUn = jnp.where(upd & finu,
+                        jnp.maximum(ZU + alphad * DZU, BARRIER_MIN), ZU)
+
+        return dict(X=X, XL=XLn, XU=XUn, Y=Y, ZL=ZLn, ZU=ZUn, done=done,
+                    iters=S["iters"] + upd.astype(S["iters"].dtype))
+
+    def _diag_w(self, W):
+        """Batched diag(AI W AI') = A.^2 @ W_struct + W_slack."""
+        jnp = self.jax.numpy
+        if not hasattr(self, "_A2op"):
+            from ..ops.spmv import SpmvOperand
+            A2 = self.lp.A.tocsr().copy()
+            A2.data = A2.data ** 2
+            A2.sort_indices()
+            self._A2op = SpmvOperand(A2.indptr, A2.indices, A2.data, self.m)
+        from ..ops.spmv import apply_csr_batched
+        return apply_csr_batched(self._A2op, W[:self.n]) + W[self.n:]
+
+    # ------------------------------------------------------------------
+    def solve(self):
+        """Runs the batched IPM to convergence (or maxiter). Returns a dict
+        with per-scenario solutions and stats (numpy)."""
+        S = self._start_fn(0)
+        for _ in range(self.maxiter):
+            S = self._step_fn(S)
+            if bool(self.jax.numpy.all(S["done"])):
+                break
+        out = {k: np.asarray(v) for k, v in S.items()}
+        out["pobj"] = np.sum(np.asarray(self.cT) * out["X"], axis=0)
+        return out
+
+
+def _step_batch(jax, X, DX, fin):
+    """Batched max step to boundary: per scenario min over entries."""
+    jnp = jax.numpy
+    damp = 1.0 - np.finfo(float).eps
+    cand = jnp.where(fin & (DX < 0.0) & jnp.isfinite(X),
+                     -(X * damp) / DX, INF)
+    return jnp.minimum(jnp.min(cand, axis=0), 1.0)

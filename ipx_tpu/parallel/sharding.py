@@ -1,0 +1,213 @@
+"""Multi-chip sharding: row-block partitioned KKT apply over a device mesh.
+
+TPU-native scale-out of the phase-1 KKT solve (no counterpart in the
+single-process reference, see SURVEY.md §2.3/§5.8): the constraint matrix AI
+is partitioned into row blocks across a mesh axis ("rows"); each device holds
+its block's CSR/CSC arrays (padded to a common static capacity) plus the full
+structural column space. One normal-matrix apply is then
+
+    u_p    = A_p' v_p                (local, scatter-free SpMV)
+    u      = psum(u_p, "rows")       (ICI all-reduce over row blocks)
+    out_p  = A_p (W u) + W_slack_p v_p   (local)
+
+with CR inner products as psum-reduced partials. Expressed with
+jax.shard_map over a jax.sharding.Mesh — XLA inserts the collectives.
+
+A second mesh axis ("batch") shards scenario batches (data parallel); the
+two compose: V is (m_p, B_local) per device.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.spmv import LANES, _pad_to
+
+INF = np.inf
+
+
+def _jx():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+class ShardedNormalMatrix:
+    """Row-block partitioned AI W AI' apply.
+
+    Host-side: builds per-block operand arrays stacked on a leading axis of
+    size num_blocks, each padded to identical static shapes so one jitted
+    program serves every block.
+    """
+
+    def __init__(self, A: sp.csc_matrix, num_blocks: int):
+        jax = _jx()
+        jnp = jax.numpy
+        m, n = A.shape
+        self.m, self.n = m, n
+        self.num_blocks = num_blocks
+        self.m_block = -(-m // num_blocks)           # rows per block (padded)
+        mp = self.m_block
+
+        A_csr = A.tocsr()
+        A_csr.sort_indices()
+
+        blocks_csr = []
+        blocks_csc = []
+        max_nnz = 1
+        for p in range(num_blocks):
+            r0, r1 = p * mp, min((p + 1) * mp, m)
+            Ab = A_csr[r0:r1]
+            max_nnz = max(max_nnz, Ab.nnz)
+            blocks_csr.append(Ab)
+            blocks_csc.append(Ab.tocsc())
+        cap = -(-max_nnz // LANES) * LANES
+
+        def pack(mats, ptr_len, idx_of, ptr_of, data_of):
+            P = len(mats)
+            idx = np.zeros((P, cap), dtype=np.int64)
+            val = np.zeros((P, cap), dtype=np.float64)
+            starts = np.zeros((P, ptr_len), dtype=np.int64)
+            ends = np.zeros((P, ptr_len), dtype=np.int64)
+            for p, M in enumerate(mats):
+                nz = M.nnz
+                idx[p, :nz] = idx_of(M)
+                val[p, :nz] = data_of(M)
+                ptr = ptr_of(M)
+                k = len(ptr) - 1
+                starts[p, :k] = ptr[:-1]
+                ends[p, :k] = ptr[1:]
+                starts[p, k:] = nz
+                ends[p, k:] = nz
+            return idx, val, starts, ends
+
+        # CSR operands (A_p u): segments = local rows (mp), indices = columns
+        csr_idx, csr_val, csr_starts, csr_ends = pack(
+            blocks_csr, mp, lambda M: M.indices, lambda M: M.indptr,
+            lambda M: M.data)
+        # CSC operands (A_p' v): segments = columns (n), indices = local rows
+        csc_idx, csc_val, csc_starts, csc_ends = pack(
+            blocks_csc, n, lambda M: M.indices, lambda M: M.indptr,
+            lambda M: M.data)
+
+        self.R = cap // LANES
+        self.arrays = dict(
+            csr_idx=jnp.asarray(csr_idx), csr_val=jnp.asarray(csr_val),
+            csr_starts=jnp.asarray(csr_starts),
+            csr_ends=jnp.asarray(csr_ends),
+            csc_idx=jnp.asarray(csc_idx), csc_val=jnp.asarray(csc_val),
+            csc_starts=jnp.asarray(csc_starts),
+            csc_ends=jnp.asarray(csc_ends),
+        )
+
+    # -- block-local scatter-free SpMV pieces ---------------------------
+    def _apply_block(self, idx, val, starts, ends, u, nseg_pad):
+        """A_block @ u via gather + lane cumsum + boundary diff; u is a
+        (len,) vector; returns (nseg_pad,)."""
+        jax = _jx()
+        jnp = jax.numpy
+        from ..ops.spmv import flat_cumsum
+        g = jnp.take_along_axis(u.reshape(-1, 1), idx.reshape(-1, 1),
+                                axis=0)[:, 0]
+        c = flat_cumsum(val * g, self.R)
+        cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
+        hi = jnp.take_along_axis(cext.reshape(-1, 1),
+                                 ends.reshape(-1, 1), axis=0)[:, 0]
+        lo = jnp.take_along_axis(cext.reshape(-1, 1),
+                                 starts.reshape(-1, 1), axis=0)[:, 0]
+        return hi - lo
+
+    def block_normal_apply(self, blk, W, v_p, axis_name: str):
+        """Per-device normal apply under shard_map. W is the full (n+m_pad,)
+        weight vector with the slack part ROW-SHARDED as W_slack_p; here we
+        pass (W_struct (n,), W_slack_p (m_block,))."""
+        jax = _jx()
+        jnp = jax.numpy
+        W_struct, W_slack_p = W
+        u_part = self._apply_block(blk["csc_idx"], blk["csc_val"],
+                                   blk["csc_starts"], blk["csc_ends"],
+                                   v_p, self.n)
+        u = jax.lax.psum(u_part, axis_name) * W_struct
+        out_p = self._apply_block(blk["csr_idx"], blk["csr_val"],
+                                  blk["csr_starts"], blk["csr_ends"],
+                                  u, self.m_block)
+        return out_p + W_slack_p * v_p
+
+
+def sharded_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
+                     diag, rhs, tol: float, maxiter: int, mesh,
+                     axis_name: str = "rows"):
+    """Diagonal-preconditioned CR on the normal equations with the matrix
+    row-sharded over `axis_name`. All m-vectors are sharded; scalars are
+    psum-reduced. Returns (y, iters) with y unsharded on host."""
+    jax = _jx()
+    jnp = jax.numpy
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard_map = jax.shard_map
+
+    nb = snm.num_blocks
+    mp = snm.m_block
+    m_pad = nb * mp
+
+    def pad_m(x):
+        out = np.zeros(m_pad)
+        out[:snm.m] = x
+        return out
+
+    rhs_p = jnp.asarray(pad_m(rhs))
+    W_slack_p = jnp.asarray(pad_m(W_slack))
+    # padding rows must keep the operator SPD: give them unit diagonal
+    diag_np = pad_m(diag)
+    diag_np[snm.m:] = 1.0
+    diag_p = jnp.asarray(diag_np)
+    W_struct = jnp.asarray(W_struct)
+
+    def cr_local(blk, W_struct, W_slack_p, diag_p, rhs_p):
+        inv_diag = 1.0 / diag_p
+
+        def C(v):
+            out = snm.block_normal_apply(blk, (W_struct, W_slack_p), v,
+                                         axis_name)
+            return out, jax.lax.psum(jnp.dot(v, out), axis_name)
+
+        def P_(v):
+            out = v * inv_diag
+            return out, jax.lax.psum(jnp.dot(v, out), axis_name)
+
+        y0 = jnp.zeros_like(rhs_p)
+        r0 = rhs_p
+        s0, _ = P_(r0)
+        cs0, cdot0 = C(s0)
+        state0 = (y0, r0, s0, cs0, s0, cs0, cdot0, jnp.int64(0))
+
+        def cond(state):
+            _, r, *_, it = state
+            resnorm = jax.lax.pmax(jnp.max(jnp.abs(r)), axis_name)
+            return (resnorm > tol) & (it < maxiter)
+
+        def body(state):
+            y, r, s, cs, d, cd, cdot, it = state
+            pcd, pdot = P_(cd)
+            alpha = cdot / pdot
+            y = y + alpha * d
+            r = r - alpha * cd
+            s = s - alpha * pcd
+            cs, cdot_new = C(s)
+            beta = cdot_new / cdot
+            d = s + beta * d
+            cd = cs + beta * cd
+            return (y, r, s, cs, d, cd, cdot_new, it + 1)
+
+        state = jax.lax.while_loop(cond, body, state0)
+        return state[0], state[7]
+
+    spec_blk = {k: P("rows") for k in snm.arrays}
+    fn = shard_map(
+        cr_local, mesh=mesh,
+        in_specs=(spec_blk, P(), P("rows"), P("rows"), P("rows")),
+        out_specs=(P("rows"), P()),
+        check_vma=False)
+    y, iters = jax.jit(fn)(snm.arrays, W_struct, W_slack_p, diag_p, rhs_p)
+    return np.asarray(y)[:snm.m], int(np.asarray(iters).ravel()[0])

@@ -1,0 +1,68 @@
+"""Device CR path: equality with the host CR path on the same LP."""
+import numpy as np
+import pytest
+
+from ipx_tpu import LpSolver, Parameters
+from ipx_tpu.ops.device_cr import DeviceNormalCR
+
+from lp_fixtures import random_lp
+
+
+def _solve(device, a):
+    p = Parameters()
+    p.display = 0
+    p.device = device
+    s = LpSolver(p)
+    assert s.load_model(a["num_var"], a["obj"], a["lb"], a["ub"],
+                        a["num_constr"], a["Ap"], a["Ai"], a["Ax"],
+                        a["rhs"], a["constr_type"]) == 0
+    s.solve()
+    return s.get_info()
+
+
+def test_device_cr_matches_host():
+    a = random_lp(60, 80, density=0.2, seed=3)
+    # force the device path regardless of size by setting device="tpu"
+    # (runs on the CPU backend under tests/conftest.py)
+    info_host = _solve("cpu", a)
+    info_dev = _solve("tpu", a)
+    assert info_dev.status == info_host.status
+    assert info_dev.objval == pytest.approx(info_host.objval, rel=1e-8)
+    assert info_dev.primal_infeas <= 1e-7
+    assert info_dev.dual_infeas <= 1e-7
+
+
+def test_device_cr_direct():
+    """Direct comparison: device CR solves the normal equations."""
+    import scipy.sparse as sp
+    from ipx_tpu.model import Model
+    from ipx_tpu.user_model import UserModel
+    from ipx_tpu.presolve import Presolver
+    from ipx_tpu.control import Control
+
+    a = random_lp(50, 70, density=0.2, seed=5)
+    um = UserModel()
+    assert um.load(a["num_constr"], a["num_var"], a["Ap"], a["Ai"], a["Ax"],
+                   a["rhs"], a["constr_type"], a["obj"], a["lb"],
+                   a["ub"]) == 0
+    md = Model()
+    pre = Presolver(um, md)
+    ctrl = Control()
+    ctrl.parameters.display = 0
+    pre.presolve_model(ctrl)
+
+    m, n = md.num_rows, md.num_cols
+    rng = np.random.default_rng(0)
+    W = rng.uniform(0.5, 2.0, size=n + m)
+    from ipx_tpu.sparse import normal_diag
+    diag = normal_diag(md.A, W)
+    resscale = 1.0 / np.sqrt(W[n:])
+    rhs = rng.standard_normal(m)
+
+    dcr = DeviceNormalCR(md, W, diag, resscale)
+    y, iters, err, _, _ = dcr.solve(rhs, 1e-10, -1)
+    assert err == 0
+    # residual of the normal equations
+    res = rhs - (md.A @ (W[:n] * (y @ md.A_csr)) + W[n:] * y)
+    assert np.max(np.abs(resscale * res)) <= 1e-9
+    assert iters > 0
