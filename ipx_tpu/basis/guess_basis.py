@@ -166,29 +166,15 @@ def _process_remaining(control, model, weights, basis, rownumber, active):
 
     jmatch = np.full(m, -1, dtype=np.int64)
     jmatch[rownumber >= 0] = -2
-    marked = np.full(n + m, -1, dtype=np.int64)
-    cheap = Ap[:n + m].copy()
-    work = np.empty(m + 1, dtype=np.int64)
-    work2 = np.empty(m + 1, dtype=np.int64)
-    work3 = np.empty(m + 1, dtype=np.int64)
-    num_matched = 0
-    num_failed = 0
 
-    for j in colperm:
-        j = int(j)
-        if not active[j]:
-            continue
-        if weights[j] == 0.0:
-            break
-        matched = augmenting_path(j, Ap, Ai, jmatch, cheap, marked,
-                                  work, work2, work3)
-        if matched:
-            basis.append(j)
-            num_matched += 1
-        else:
-            num_failed += 1
-        if num_failed >= 10 * (m - len(basis)):
-            break
+    # priority order restricted to active columns with positive weight
+    worder = [int(j) for j in colperm
+              if active[j] and weights[j] > 0.0]
+    worder = np.asarray(worder, dtype=np.int64)
+
+    num_matched, num_failed, matched_cols = _run_matching(
+        m, n + m, Ap, Ai, worder, jmatch, m - len(basis), len(basis))
+    basis.extend(matched_cols)
     sel = jmatch >= 0
     assert np.all(rownumber[sel] < 0)
     rownumber[sel] = m      # matched marker
@@ -197,3 +183,54 @@ def _process_remaining(control, model, weights, basis, rownumber, active):
         + f"{num_matched}\n"
         + Control.textline("Number of other columns failed:")
         + f"{num_failed}\n")
+
+
+def _run_matching(nrows, ncols, Ap, Ai, order, jmatch, deficit, already):
+    """Weight-ordered augmenting-path matching; native kernel when
+    available, pure-Python fallback otherwise. Returns
+    (num_matched, num_failed, matched column list in order)."""
+    try:
+        from .lu import _load_lib
+        import ctypes
+        lib = _load_lib()
+        if not hasattr(lib, "_matching_ready"):
+            I = ctypes.c_int64
+            IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            BA = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.ipxlu_matching.restype = I
+            lib.ipxlu_matching.argtypes = [I, I, IA, IA, I, IA, IA, I, I,
+                                           I, BA]
+            lib._matching_ready = True
+        matched_out = np.zeros(len(order), dtype=np.int8)
+        Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+        Ai = np.ascontiguousarray(Ai, dtype=np.int64)
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        nm = int(lib.ipxlu_matching(nrows, ncols, Ap, Ai, len(order),
+                                    order, jmatch, 10,
+                                    already + deficit, already,
+                                    matched_out))
+        matched_cols = [int(j) for j, f in zip(order, matched_out) if f]
+        nf = int(np.count_nonzero(matched_out == 0))
+        return nm, nf, matched_cols
+    except Exception:
+        pass
+    # fallback: pure Python
+    marked = np.full(ncols, -1, dtype=np.int64)
+    cheap = np.asarray(Ap[:ncols]).copy()
+    work = np.empty(nrows + 1, dtype=np.int64)
+    work2 = np.empty(nrows + 1, dtype=np.int64)
+    work3 = np.empty(nrows + 1, dtype=np.int64)
+    matched_cols = []
+    num_matched = num_failed = 0
+    size = already
+    for j in order:
+        if augmenting_path(int(j), Ap, Ai, jmatch, cheap, marked, work,
+                           work2, work3):
+            matched_cols.append(int(j))
+            num_matched += 1
+            size += 1
+        else:
+            num_failed += 1
+        if num_failed >= 10 * (already + deficit - size):
+            break
+    return num_matched, num_failed, matched_cols

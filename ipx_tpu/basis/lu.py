@@ -98,37 +98,48 @@ class LuUpdate:
     # method of Duff/Erisman/Reid): solve with +/-1 rhs chosen to grow the
     # solution, measure scaled residual in the 1-norm.
     def stability_check(self, Bbegin, Bend, Bi, Bx) -> bool:
-        """Returns True if the factorization looks numerically stable."""
+        """Returns True if the factorization looks numerically stable.
+        Fully vectorized: multi-range gather of the basis columns, then a
+        scattered residual accumulation."""
         m = self.dim
         if m == 0:
             return True
+        Bbegin = np.asarray(Bbegin, dtype=np.int64)
+        Bend = np.asarray(Bend, dtype=np.int64)
         Bi = np.asarray(Bi)
         Bx = np.asarray(Bx)
-        # rhs with +/-1 entries chosen greedily during a forward pass
+        # rhs with +/-1 entries
         rng = np.random.default_rng(0)
         b = np.where(rng.random(m) > 0.5, 1.0, -1.0)
         x = self.solve_dense(b, trans=False)
-        # residual b - B x
-        res = b.copy()
-        colnorm1 = 0.0
-        for j in range(m):
-            seg = slice(Bbegin[j], Bend[j])
-            res[Bi[seg]] -= Bx[seg] * x[j]
-        normB = self._onenorm_cols(Bbegin, Bend, Bx)
+
+        # multi-range gather: positions covering [Bbegin[j], Bend[j]) for
+        # all j concatenated
+        lens = Bend - Bbegin
+        total = int(lens.sum())
+        if total:
+            steps = np.ones(total, dtype=np.int64)
+            startpos = np.zeros(len(lens), dtype=np.int64)
+            startpos[1:] = np.cumsum(lens[:-1])
+            nz = lens > 0
+            firsts = startpos[nz]
+            steps[firsts] = Bbegin[nz]
+            steps[firsts[1:]] -= (Bbegin[nz] + lens[nz] - 1)[:-1]
+            pos = np.cumsum(steps)
+            rows = Bi[pos]
+            vals = Bx[pos]
+            colof = np.repeat(np.arange(m), lens)
+            res = b.copy()
+            np.subtract.at(res, rows, vals * x[colof])
+            colnorms = np.bincount(colof, weights=np.abs(vals), minlength=m)
+            normB = float(colnorms.max()) if colnorms.size else 0.0
+        else:
+            res = b.copy()
+            normB = 0.0
         denom = np.abs(b).sum() + normB * np.abs(x).sum()
         if denom == 0.0:
             return True
-        del colnorm1
         return float(np.abs(res).sum()) / denom <= LU_STABILITY_THRESHOLD
-
-    @staticmethod
-    def _onenorm_cols(Bbegin, Bend, Bx) -> float:
-        Bx = np.asarray(Bx)
-        best = 0.0
-        for j in range(len(Bbegin)):
-            s = float(np.abs(Bx[Bbegin[j]:Bend[j]]).sum())
-            best = max(best, s)
-        return best
 
 
 # ----------------------------------------------------------------------

@@ -166,9 +166,16 @@ class Maxvolume:
         skipped = 0
         while True:
             if not candidates:
-                order = np.argsort(np.abs(colweights), kind="stable")
-                candidates = [int(order[-2]) if len(order) > 1
-                              else int(order[-1]), int(order[-1])]
+                # top-2 by |weight| in one O(n) pass
+                # (reference: src/maxvolume.cc FindLargest)
+                aw = np.abs(colweights)
+                if aw.size > 1:
+                    top2 = np.argpartition(aw, -2)[-2:]
+                    if aw[top2[0]] > aw[top2[1]]:
+                        top2 = top2[::-1]
+                    candidates = [int(top2[0]), int(top2[1])]
+                else:
+                    candidates = [0]
             jn = candidates[-1]
             weight = colweights[jn]
             if weight == 0.0:

@@ -854,4 +854,83 @@ double ipxlu_fill_factor(void* h) {
     return (double)lu.factor_nnz / (double)lu.bnnz;
 }
 
+// ---------------------------------------------------------------------
+// Standalone maximum-matching kernel (crash basis construction).
+// Alternating augmenting-path matching processed in a caller-given column
+// order (counterpart of the matching stage of the reference crash,
+// reference: src/sparse_utils.h:32-57 adapting CSparse cs_augment).
+//
+// jmatch[i]: -1 unmatched eligible row, < -1 excluded, >= 0 matched column.
+// order: columns to try, in priority order. matched_out[k] = 1 if order[k]
+// was matched. Stops early when failures >= failcap (caller recomputes the
+// 10x-deficit rule). Returns number matched.
+ipxint ipxlu_matching(ipxint nrows, ipxint ncols, const ipxint* Ap,
+                      const ipxint* Ai, ipxint norder, const ipxint* order,
+                      ipxint* jmatch, ipxint failcap_mult,
+                      ipxint target_size, ipxint already,
+                      int8_t* matched_out) {
+    std::vector<ipxint> cheap(Ap, Ap + ncols);
+    std::vector<ipxint> marked(ncols, -1);
+    std::vector<ipxint> js(nrows + 1), is(nrows + 1), ps(nrows + 1);
+    ipxint num_matched = 0, num_failed = 0;
+    ipxint basis_size = already;
+
+    for (ipxint t = 0; t < norder; t++) {
+        ipxint jstart = order[t];
+        matched_out[t] = 0;
+        bool found = false;
+        ipxint head = 0;
+        js[0] = jstart;
+        while (head >= 0) {
+            ipxint j = js[head];
+            if (marked[j] != jstart) {
+                marked[j] = jstart;
+                ipxint p = cheap[j];
+                ipxint foundrow = -1;
+                for (; p < Ap[j + 1]; p++) {
+                    ipxint i = Ai[p];
+                    if (jmatch[i] == -1) { foundrow = i; p++; break; }
+                }
+                cheap[j] = p;
+                if (foundrow >= 0) {
+                    is[head] = foundrow;
+                    found = true;
+                    break;
+                }
+                ps[head] = Ap[j];
+            }
+            ipxint p = ps[head];
+            bool advanced = false;
+            for (; p < Ap[j + 1]; p++) {
+                ipxint i = Ai[p];
+                ipxint jm = jmatch[i];
+                if (jm < 0) continue;
+                if (marked[jm] == jstart) continue;
+                ps[head] = p + 1;
+                is[head] = i;
+                head++;
+                js[head] = jm;
+                advanced = true;
+                break;
+            }
+            if (!advanced) {
+                if (p >= Ap[j + 1]) ps[head] = p;
+                head--;
+            }
+        }
+        if (found) {
+            for (ipxint h = head; h >= 0; h--)
+                jmatch[is[h]] = js[h];
+            matched_out[t] = 1;
+            num_matched++;
+            basis_size++;
+        } else {
+            num_failed++;
+        }
+        if (num_failed >= failcap_mult * (target_size - basis_size))
+            break;
+    }
+    return num_matched;
+}
+
 }  // extern "C"
