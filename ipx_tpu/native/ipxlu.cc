@@ -83,6 +83,7 @@ struct IpxLu {
     // workspaces. `work` is reserved for the sparse solve paths and must be
     // all-zero between calls; dense solves use workd/work2.
     std::vector<double> work;        // sparse-path accumulator (kept zero)
+    std::vector<double> works;       // 2nd sparse-path accumulator (kept zero)
     std::vector<double> workd;       // dense-path accumulator
     std::vector<double> work2;
     std::vector<ipxint> stack, flag, pattern;
@@ -386,6 +387,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.factor_nnz = (ipxint)(lu.L.idx.size() + lu.U.idx.size()) + m;
     lu.have_factors = true;
     lu.work.assign(m, 0.0);
+    lu.works.assign(m, 0.0);
     lu.workd.assign(m, 0.0);
     lu.work2.assign(m, 0.0);
     lu.stack.resize(2 * m);
@@ -571,24 +573,43 @@ static void btran_dense(IpxLu& lu, const double* b, double* x) {
     for (ipxint k = 0; k < m; k++) x[lu.rowperm[k]] = w[k];
 }
 
+// Applies eta inverses for FTRAN on a SPARSE vector, extending the pattern
+// as fill occurs. x dense storage; pattern list appended in place.
+static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
+                                      ipxint nz) {
+    // membership tracked with a stamp so entries are never added twice
+    // (value==0 tests would re-add exactly-cancelled entries and could
+    // overflow the pattern buffer)
+    lu.flagstamp++;
+    const ipxint st = lu.flagstamp;
+    for (ipxint t = 0; t < nz; t++) lu.flag[pat[t]] = st;
+    for (const Eta& e : lu.etas) {
+        double xp = x[e.pos];
+        if (xp == 0.0) continue;
+        xp /= e.diag;
+        x[e.pos] = xp;
+        for (size_t t = 0; t < e.idx.size(); t++) {
+            ipxint j = e.idx[t];
+            x[j] -= e.val[t] * xp;
+            if (lu.flag[j] != st) {
+                lu.flag[j] = st;
+                pat[nz++] = j;
+            }
+        }
+    }
+    return nz;
+}
+
 // Sparse FTRAN with pattern tracking. Returns nz (pattern in out_pat, values
 // dense in x) or -1 if the result should be treated dense.
 static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
                            const double* bx, double* x, ipxint* out_pat) {
     const ipxint m = lu.m;
-    // if etas exist, fall back to dense path for simplicity of pattern
-    if (!lu.etas.empty() || nb > m / 8) {
-        std::fill(lu.work2.data(), lu.work2.data() + m, 0.0);
-        double* bfull = lu.work2.data();
-        // scatter into user row space temp
-        std::vector<double>& tmp = lu.ftran_sol;  // reuse
-        (void)tmp;
+    if (nb > m / 8) {
         std::fill(x, x + m, 0.0);
-        // build dense rhs
         std::vector<double> bd(m, 0.0);
         for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
         ftran_dense(lu, bd.data(), x);
-        (void)bfull;
         return -1;
     }
     double* w = lu.work.data();
@@ -623,6 +644,9 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
     // clear scattered w leftovers (positions solved but zero handled above;
     // also clear the L-phase pattern in case U-phase pattern differs)
     for (ipxint t = 0; t < n2; t++) w[pat2[t]] = 0.0;
+    // apply PFI etas sparsely, growing the pattern with fill
+    if (!lu.etas.empty())
+        nz = apply_etas_ftran_sparse(lu, x, out_pat, nz);
     return nz;
 }
 
@@ -630,18 +654,59 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
 static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
                                 ipxint* out_pat) {
     const ipxint m = lu.m;
-    if (!lu.etas.empty()) {
-        std::vector<double> bd(m, 0.0);
-        bd[pos] = 1.0;
-        btran_dense(lu, bd.data(), x);
+    // Apply eta inverse transposes sparsely first (most recent first):
+    // u_p = (b_p - w_off . b_off) / w_p touches only position e.pos, so the
+    // rhs pattern grows by at most one entry per eta.
+    double* s = lu.works.data();
+    ipxint ns = 0;
+    ipxint* spat = lu.pattern.data();
+    lu.flagstamp++;
+    const ipxint bst = lu.flagstamp;
+    s[pos] = 1.0;
+    lu.flag[pos] = bst;
+    spat[ns++] = pos;
+    for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
+        const Eta& e = *it;
+        double acc = s[e.pos];
+        for (size_t t = 0; t < e.idx.size(); t++)
+            acc -= e.val[t] * s[e.idx[t]];
+        s[e.pos] = acc / e.diag;
+        if (lu.flag[e.pos] != bst) {
+            lu.flag[e.pos] = bst;
+            spat[ns++] = e.pos;
+        }
+    }
+    if (ns > m / 8) {
+        // dense fallback; s already holds the eta-transformed rhs
+        double* w = lu.workd.data();
+        for (ipxint k = 0; k < m; k++) w[k] = s[lu.colperm[k]];
+        for (ipxint t = 0; t < ns; t++) s[spat[t]] = 0.0;
+        dense_utsolve(lu.Ut, lu.Udiag.data(), w, m);
+        dense_ltsolve(lu.Lt, w, m);
+        for (ipxint k = 0; k < m; k++) x[lu.rowperm[k]] = w[k];
         return -1;
     }
     double* w = lu.work.data();
-    ipxint k0 = lu.colperm_inv[pos];
-    w[k0] = 1.0;
-    ipxint pat0[1] = {k0};
+    ipxint pat0_arr[64];
+    std::vector<ipxint> pat0big;
+    ipxint* pat0;
+    if (ns <= 64) pat0 = pat0_arr; else {
+        pat0big.resize(ns);
+        pat0 = pat0big.data();
+    }
+    ipxint np0 = 0;
+    for (ipxint t = 0; t < ns; t++) {
+        ipxint j = spat[t];
+        double v = s[j];
+        s[j] = 0.0;
+        if (v != 0.0) {
+            ipxint k = lu.colperm_inv[j];
+            w[k] = v;
+            pat0[np0++] = k;
+        }
+    }
     std::vector<ipxint> pat2(m), pat3(m);
-    ipxint n2 = sparse_solve(lu.Ut, lu.Udiag.data(), lu, 1, pat0, w,
+    ipxint n2 = sparse_solve(lu.Ut, lu.Udiag.data(), lu, np0, pat0, w,
                              pat2.data());
     ipxint n3 = sparse_solve(lu.Lt, nullptr, lu, n2, pat2.data(), w,
                              pat3.data());

@@ -1,0 +1,145 @@
+"""Structured LP instance generators.
+
+Synthetic families with the structure of the classic benchmark sets (Netlib /
+Mittelmann): transportation problems, min-cost network flows on grids, and
+multi-knapsack production models. Unlike uniformly random matrices, these
+have the unit-entry, tree-like basis structure that the simplex-type linear
+algebra exploits (hypersparse FTRAN/BTRAN, low LU fill), so they are the
+honest performance testbed when the original MPS files are unavailable.
+
+All generators return the dict-of-arrays form accepted by
+LpSolver.load_model.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+INF = np.inf
+
+
+def transportation(num_sources: int, num_sinks: int, density: float = 0.25,
+                   seed: int = 0):
+    """Capacitated transportation problem:
+    min sum c_ij x_ij  st  sum_j x_ij <= supply_i, sum_i x_ij >= demand_j,
+    0 <= x_ij <= cap."""
+    rng = np.random.default_rng(seed)
+    arcs = []
+    for i in range(num_sources):
+        # each source connects to a random subset of sinks (>= 2)
+        k = max(2, int(density * num_sinks))
+        sinks = rng.choice(num_sinks, size=min(k, num_sinks), replace=False)
+        arcs.extend((i, int(j)) for j in sinks)
+    # ensure every sink is reachable
+    covered = {j for _, j in arcs}
+    for j in range(num_sinks):
+        if j not in covered:
+            arcs.append((int(rng.integers(num_sources)), j))
+    arcs = sorted(set(arcs), key=lambda t: (t[1], t[0]))
+
+    n = len(arcs)
+    m = num_sources + num_sinks
+    Ai, Ax, Ap = [], [], [0]
+    for (i, j) in arcs:
+        # column touches supply row i ('<') and demand row num_sources+j ('>')
+        Ai.extend([i, num_sources + j])
+        Ax.extend([1.0, 1.0])
+        Ap.append(len(Ai))
+
+    demand = rng.uniform(1.0, 10.0, size=num_sinks)
+    total_demand = demand.sum()
+    supply = rng.uniform(1.0, 10.0, size=num_sources)
+    supply *= 1.3 * total_demand / supply.sum()     # 30% slack capacity
+    cost = rng.uniform(1.0, 20.0, size=n)
+    cap = np.full(n, max(10.0, 2.0 * demand.max()))
+
+    rhs = np.concatenate([supply, demand])
+    ctype = "<" * num_sources + ">" * num_sinks
+    return dict(num_var=n, obj=cost, lb=np.zeros(n), ub=cap,
+                num_constr=m, Ap=np.array(Ap, dtype=np.int64),
+                Ai=np.array(Ai, dtype=np.int64),
+                Ax=np.array(Ax, dtype=np.float64), rhs=rhs,
+                constr_type=ctype)
+
+
+def grid_flow(rows: int, cols: int, seed: int = 0):
+    """Min-cost flow on a grid network with a super source/sink:
+    flow conservation equalities, arc capacities."""
+    rng = np.random.default_rng(seed)
+    num_nodes = rows * cols
+
+    def node(r, c):
+        return r * cols + c
+
+    arcs = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                arcs.append((node(r, c), node(r, c + 1)))
+                arcs.append((node(r, c + 1), node(r, c)))
+            if r + 1 < rows:
+                arcs.append((node(r, c), node(r + 1, c)))
+                arcs.append((node(r + 1, c), node(r, c)))
+
+    n = len(arcs)
+    m = num_nodes
+    Ai, Ax, Ap = [], [], [0]
+    for (u, v) in arcs:
+        if u < v:
+            Ai.extend([u, v])
+            Ax.extend([1.0, -1.0])
+        else:
+            Ai.extend([v, u])
+            Ax.extend([-1.0, 1.0])
+        Ap.append(len(Ai))
+
+    # supplies: positive at a few sources, negative at sinks, sum zero
+    b = np.zeros(m)
+    k = max(2, num_nodes // 50)
+    sources = rng.choice(num_nodes, size=k, replace=False)
+    sinks = rng.choice(
+        [i for i in range(num_nodes) if i not in set(sources)],
+        size=k, replace=False)
+    amt = rng.uniform(1.0, 5.0, size=k)
+    b[sources] += amt
+    b[sinks] -= amt
+
+    cost = rng.uniform(1.0, 10.0, size=n)
+    cap = np.full(n, float(amt.sum()))
+    return dict(num_var=n, obj=cost, lb=np.zeros(n), ub=cap,
+                num_constr=m, Ap=np.array(Ap, dtype=np.int64),
+                Ai=np.array(Ai, dtype=np.int64),
+                Ax=np.array(Ax, dtype=np.float64), rhs=b,
+                constr_type="=" * m)
+
+
+def production(num_products: int, num_resources: int, nnz_per_col: int = 8,
+               seed: int = 0):
+    """Dense-ish production planning: min -profit'x st R x <= capacity,
+    0 <= x <= u. Netlib-style constraint density, positive data."""
+    rng = np.random.default_rng(seed)
+    n, m = num_products, num_resources
+    Ai, Ax, Ap = [], [], [0]
+    for j in range(n):
+        k = min(m, max(2, int(rng.poisson(nnz_per_col))))
+        rows_ = np.sort(rng.choice(m, size=k, replace=False))
+        Ai.extend(rows_.tolist())
+        Ax.extend(rng.uniform(0.1, 5.0, size=k).tolist())
+        Ap.append(len(Ai))
+    x0 = rng.uniform(0.0, 2.0, size=n)
+    A = sp.csc_matrix((Ax, Ai, Ap), shape=(m, n))
+    capacity = A @ x0 + rng.uniform(1.0, 5.0, size=m)
+    profit = rng.uniform(1.0, 10.0, size=n)
+    return dict(num_var=n, obj=-profit, lb=np.zeros(n),
+                ub=np.full(n, 10.0), num_constr=m,
+                Ap=np.array(Ap, dtype=np.int64),
+                Ai=np.array(Ai, dtype=np.int64),
+                Ax=np.array(Ax, dtype=np.float64), rhs=capacity,
+                constr_type="<" * m)
+
+
+def load_into_solver(data, solver):
+    return solver.load_model(data["num_var"], data["obj"], data["lb"],
+                             data["ub"], data["num_constr"], data["Ap"],
+                             data["Ai"], data["Ax"], data["rhs"],
+                             data["constr_type"])
