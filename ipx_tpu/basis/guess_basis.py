@@ -110,41 +110,55 @@ def _process_free_columns(control, model, weights, basis, rownumber, active):
 
 def _process_singletons(control, model, weights, basis, rownumber, active):
     """Singleton columns with weighted entry >= 0.5 x row max
-    (reference: src/guess_basis.cc:112-146)."""
+    (reference: src/guess_basis.cc:112-146). Vectorized: per-row maxima of
+    |entry|*weight over active columns and over active singleton columns via
+    sparse reductions; the sequential greedy is preserved because selecting a
+    singleton never deactivates another row's candidates (each singleton
+    column touches exactly one row)."""
     m, n = model.num_rows, model.num_cols
-    A = model.A
-    colcount = np.diff(A.indptr)
     A_csr = model.A_csr
+    colcount = np.diff(model.A.indptr)
+
+    rows_of = np.repeat(np.arange(m), np.diff(A_csr.indptr))
+    cols_of = A_csr.indices
+    # inactive columns contribute 0 (guarding inf*0 for free columns)
+    with np.errstate(invalid="ignore"):
+        w = np.where(active[cols_of],
+                     np.abs(A_csr.data) * weights[cols_of], 0.0)
+    w = np.nan_to_num(w, nan=0.0, posinf=0.0)
+    rowmax = np.zeros(m)
+    np.maximum.at(rowmax, rows_of, w)
+    # best singleton per row (structural)
+    single = (colcount[cols_of] == 1) & active[cols_of]
+    ws = np.where(single, w, 0.0)
+    singmax = np.zeros(m)
+    np.maximum.at(singmax, rows_of, ws)
+    # index of the best structural singleton per row: scatter argmax
+    best_j = np.full(m, -1, dtype=np.int64)
+    hit = ws > 0
+    order = np.argsort(ws[hit], kind="stable")
+    hi_rows = rows_of[hit][order]
+    hi_cols = cols_of[hit][order]
+    best_j[hi_rows] = hi_cols          # last write = max (sorted ascending)
+
+    # slack columns: weight (|entry| = 1), active, singleton by construction
+    slack_w = weights[n:] * active[n:]
+    rowmax = np.maximum(rowmax, slack_w)
+    use_slack = slack_w > singmax
+    singmax = np.where(use_slack, slack_w, singmax)
+    best_j = np.where(use_slack, n + np.arange(m), best_j)
+
+    sel = (rownumber < 0) & (singmax > 0.0) & (singmax >= 0.5 * rowmax) \
+        & (best_j >= 0)
     num_singletons = 0
-    for i in range(m):
-        if rownumber[i] >= 0:
-            continue
-        rowmax = 0.0
-        max_singleton = 0.0
-        jsingleton = -1
-        # structural entries of row i
-        seg = slice(A_csr.indptr[i], A_csr.indptr[i + 1])
-        for j, v in zip(A_csr.indices[seg], A_csr.data[seg]):
-            if not active[j]:
-                continue
-            a = abs(v) * weights[j]
-            rowmax = max(rowmax, a)
-            if a > max_singleton and colcount[j] == 1:
-                max_singleton = a
-                jsingleton = int(j)
-        # slack column n+i is a singleton in row i
-        j = n + i
-        if active[j]:
-            a = weights[j]     # |entry| = 1
-            rowmax = max(rowmax, a)
-            if a > max_singleton:
-                max_singleton = a
-                jsingleton = j
-        if max_singleton > 0.0 and max_singleton >= 0.5 * rowmax:
-            rownumber[i] = len(basis)
-            basis.append(jsingleton)
-            active[jsingleton] = False
-            num_singletons += 1
+    for i in np.nonzero(sel)[0]:
+        j = int(best_j[i])
+        if not active[j]:
+            continue            # already taken by an earlier row
+        rownumber[i] = len(basis)
+        basis.append(j)
+        active[j] = False
+        num_singletons += 1
     control.debug(
         Control.textline("Number of singletons in starting basis:")
         + f"{num_singletons}\n")

@@ -164,22 +164,29 @@ class Maxvolume:
 
         candidates: list = []
         skipped = 0
+        TOPK = 32
+        fresh_scan = False
         while True:
             if not candidates:
-                # top-2 by |weight| in one O(n) pass
-                # (reference: src/maxvolume.cc FindLargest)
+                fresh_scan = True
+                # Take the TOPK columns by |weight| in one O(n) pass and
+                # consume them largest-first. (The reference rescans for the
+                # top-2 after every exchange, reference: src/maxvolume.cc
+                # FindLargest; batching the scan is a heuristic-preserving
+                # optimization — stale candidates are re-validated below via
+                # their current weight.)
                 aw = np.abs(colweights)
-                if aw.size > 1:
-                    top2 = np.argpartition(aw, -2)[-2:]
-                    if aw[top2[0]] > aw[top2[1]]:
-                        top2 = top2[::-1]
-                    candidates = [int(top2[0]), int(top2[1])]
-                else:
-                    candidates = [0]
+                k = min(TOPK, aw.size)
+                topk = np.argpartition(aw, -k)[-k:]
+                topk = topk[np.argsort(aw[topk], kind="stable")]
+                candidates = [int(j) for j in topk]
             jn = candidates[-1]
             weight = colweights[jn]
             if weight == 0.0:
-                break
+                if fresh_scan:
+                    break      # a fresh scan's maximum is zero: slice done
+                candidates = []    # stale candidate: rescan
+                continue
             try:
                 self.control.interrupt_check()
             except InterruptError:
@@ -241,7 +248,8 @@ class Maxvolume:
             colweights[rnz] += alpha * row.values[rnz] * colscale[rnz]
             colweights[jb] = float(tblrow_used[pmax]) + alpha / dbinv
             colweights[jn] = 0.0
-            candidates = []
+            candidates.pop()
+            fresh_scan = False
 
         self.skipped += skipped
         return errflag

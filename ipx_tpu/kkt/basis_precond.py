@@ -194,17 +194,14 @@ class KKTSolverBasis(KKTSolver):
         volume_tol = 2.0
         info.errflag = 0
 
-        candidates = []
-        for p in range(m):
-            jb = int(basis.basis[p])
-            if basis.status_of(jb) != BASIC:
-                continue
-            if xl[jb] <= xu[jb]:
-                xj, zj = xl[jb], zl[jb]
-            else:
-                xj, zj = xu[jb], zu[jb]
-            if xj < 0.01 * zj and xj <= drop_primal:
-                candidates.append(jb)
+        bvars = basis.basis
+        is_basic = basis.map2basis[bvars] < m      # BASIC, not BASIC_FREE
+        lower_near = xl[bvars] <= xu[bvars]
+        xj = np.where(lower_near, xl[bvars], xu[bvars])
+        zj = np.where(lower_near, zl[bvars], zu[bvars])
+        with np.errstate(invalid="ignore"):
+            cand_mask = is_basic & (xj < 0.01 * zj) & (xj <= drop_primal)
+        candidates = [int(j) for j in bvars[cand_mask]]
         if not candidates:
             return
 
@@ -267,16 +264,13 @@ class KKTSolverBasis(KKTSolver):
         volume_tol = 2.0
         info.errflag = 0
 
-        candidates = []
         nb = np.nonzero(basis.map2basis == -1)[0]
-        for jn in nb:
-            jn = int(jn)
-            if zl[jn] >= zu[jn]:
-                xj, zj = xl[jn], zl[jn]
-            else:
-                xj, zj = xu[jn], zu[jn]
-            if zj < 0.01 * xj and zj <= drop_dual:
-                candidates.append(jn)
+        upper_larger = zl[nb] >= zu[nb]
+        xj = np.where(upper_larger, xl[nb], xu[nb])
+        zj = np.where(upper_larger, zl[nb], zu[nb])
+        with np.errstate(invalid="ignore"):
+            cand_mask = (zj < 0.01 * xj) & (zj <= drop_dual)
+        candidates = [int(j) for j in nb[cand_mask]]
         if not candidates:
             return
 

@@ -32,6 +32,13 @@ from .diagonal_precond import DiagonalPrecond
 from .normal_matrix import NormalMatrix
 
 
+def _monotonic_s() -> float:
+    """Monotonic clock matching the C++ side's steady_clock (both are
+    CLOCK_MONOTONIC on Linux)."""
+    import time
+    return time.monotonic()
+
+
 class KKTSolverDiag(KKTSolver):
     def __init__(self, control: Control, model: Model):
         self.control = control
@@ -69,7 +76,8 @@ class KKTSolverDiag(KKTSolver):
         else:
             self.W = np.ones(n + m)
 
-        self.resscale = 1.0 / np.sqrt(self.W[n:])
+        self.resscale = np.ascontiguousarray(1.0 / np.sqrt(self.W[n:]))
+        self.W = np.ascontiguousarray(self.W)
         self.normal_matrix.prepare(self.W)
         self.precond.factorize(self.W,
                                bool(self.control.parameters.precond_dense_cols),
@@ -77,7 +85,37 @@ class KKTSolverDiag(KKTSolver):
         if info.errflag:
             return
         self._prepare_device()
+        self._prepare_native_cr()
         self.factorized = True
+
+    def _prepare_native_cr(self) -> None:
+        """Whole-CR-loop native path (diag precond, no dense columns)."""
+        self._native_cr = None
+        if self._device_cr is not None:
+            return
+        if self.precond.Adense is not None:
+            return      # dense-column SMW runs through the Python CR
+        try:
+            import ctypes as ct
+            from .normal_matrix import _native_apply_handle
+            handle = _native_apply_handle(self.model)
+            if handle is None:
+                return
+            lib, Ap, Ai, Ax = handle
+            if not hasattr(lib, "_cr_ready"):
+                I = ct.c_int64
+                D = ct.c_double
+                IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                DA = np.ctypeslib.ndpointer(np.float64,
+                                            flags="C_CONTIGUOUS")
+                lib.ipxlu_cr_diag.restype = I
+                lib.ipxlu_cr_diag.argtypes = [I, I, IA, IA, DA, DA, DA, DA,
+                                              DA, D, I, D, DA,
+                                              ct.POINTER(I)]
+                lib._cr_ready = True
+            self._native_cr = (lib, Ap, Ai, Ax, ct)
+        except Exception:
+            self._native_cr = None
 
     def _prepare_device(self) -> None:
         """Set up the on-device CR solver when enabled."""
@@ -122,6 +160,27 @@ class KKTSolverDiag(KKTSolver):
             info.time_cr1 += cr_time
             info.time_cr1_AAt += mv_time
             self._iters += iters
+        elif self._native_cr is not None:
+            from time import perf_counter
+            lib, Ap, Ai, Ax, ct = self._native_cr
+            deadline = 0.0
+            tl = self.control.parameters.time_limit
+            if tl >= 0:
+                import time as _t
+                remaining = tl - self.control.elapsed()
+                deadline = _monotonic_s() + max(remaining, 0.0)
+            iters = ct.c_int64(0)
+            t0 = perf_counter()
+            err = int(lib.ipxlu_cr_diag(
+                m, n, Ap, Ai, Ax, self.W, self.precond.diagonal,
+                self.resscale, np.ascontiguousarray(rhs), tol,
+                self.maxiter, deadline, y, ct.byref(iters)))
+            dt = perf_counter() - t0
+            info.errflag = 999 if err == 999 else err
+            info.kktiter1 += iters.value
+            info.time_cr1 += dt
+            info.time_cr1_AAt += 0.8 * dt
+            self._iters += iters.value
         else:
             cr = ConjugateResiduals(self.control)
             cr.solve(self.normal_matrix, rhs, tol, self.resscale,

@@ -25,9 +25,10 @@ class NormalMatrix(LinearOperator):
         self.model = model
         self.W: Optional[np.ndarray] = None
         self.time = 0.0
+        self._native = _native_apply_handle(model)
 
     def prepare(self, W: Optional[np.ndarray]) -> None:
-        self.W = W
+        self.W = np.ascontiguousarray(W) if W is not None else None
 
     def reset_time(self) -> None:
         self.time = 0.0
@@ -36,6 +37,14 @@ class NormalMatrix(LinearOperator):
         t0 = perf_counter()
         md = self.model
         n = md.num_cols
+        if self._native is not None and self.W is not None:
+            lib, Ap, Ai, Ax = self._native
+            lhs = np.empty(md.num_rows)
+            rhs = np.ascontiguousarray(rhs)
+            dot = lib.ipxlu_normal_apply(md.num_rows, n, Ap, Ai, Ax,
+                                         self.W, rhs, lhs)
+            self.time += perf_counter() - t0
+            return lhs, (float(dot) if want_dot else None)
         if self.W is not None:
             u = (rhs @ md.A_csr) * self.W[:n]      # W_struct ⊙ (A' v)
             lhs = md.A @ u
@@ -46,3 +55,29 @@ class NormalMatrix(LinearOperator):
         dot = float(rhs @ lhs) if want_dot else None
         self.time += perf_counter() - t0
         return lhs, dot
+
+
+def _native_apply_handle(model: Model):
+    """Returns (lib, Ap, Ai, Ax) with int64/f64 contiguous CSC arrays of A,
+    or None if the native kernel is unavailable."""
+    try:
+        import ctypes
+        from ..basis.lu import _load_lib
+        lib = _load_lib()
+        if not hasattr(lib, "_normal_ready"):
+            I = ctypes.c_int64
+            IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.ipxlu_normal_apply.restype = ctypes.c_double
+            lib.ipxlu_normal_apply.argtypes = [I, I, IA, IA, DA, DA, DA, DA]
+            lib._normal_ready = True
+        if not hasattr(model, "_native_csc"):
+            A = model.A
+            model._native_csc = (
+                np.ascontiguousarray(A.indptr, dtype=np.int64),
+                np.ascontiguousarray(A.indices, dtype=np.int64),
+                np.ascontiguousarray(A.data, dtype=np.float64))
+        Ap, Ai, Ax = model._native_csc
+        return lib, Ap, Ai, Ax
+    except Exception:
+        return None

@@ -29,6 +29,7 @@
 // (ipx_tpu/basis/lu.py).
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -917,6 +918,118 @@ ipxint ipxlu_num_updates(void* h) {
 double ipxlu_fill_factor(void* h) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     return (double)lu.factor_nnz / (double)lu.bnnz;
+}
+
+// ---------------------------------------------------------------------
+// Fused normal-matrix apply: lhs = A diag(W_struct) A' rhs + W_slack . rhs
+// in ONE pass over the columns of A (the strategy the reference chose after
+// profiling three variants, reference: src/normal_matrix.cc:10-22,64-75).
+// Returns rhs . lhs fused with the product.
+double ipxlu_normal_apply(ipxint m, ipxint n, const ipxint* Ap,
+                          const ipxint* Ai, const double* Ax,
+                          const double* W, const double* rhs, double* lhs) {
+    for (ipxint i = 0; i < m; i++)
+        lhs[i] = rhs[i] * W[n + i];
+    for (ipxint j = 0; j < n; j++) {
+        const ipxint begin = Ap[j], end = Ap[j + 1];
+        double d = 0.0;
+        for (ipxint p = begin; p < end; p++)
+            d += rhs[Ai[p]] * Ax[p];
+        d *= W[j];
+        if (d != 0.0)
+            for (ipxint p = begin; p < end; p++)
+                lhs[Ai[p]] += d * Ax[p];
+    }
+    double dot = 0.0;
+    for (ipxint i = 0; i < m; i++)
+        dot += rhs[i] * lhs[i];
+    return dot;
+}
+
+// ---------------------------------------------------------------------
+// Native preconditioned Conjugate Residuals on the normal equations with
+// diagonal preconditioning: the phase-1 hot loop fully in native code
+// (counterpart of reference: src/conjugate_residuals.cc:90-213 +
+// src/kkt_solver_diag.cc, fused with the one-pass matvec above).
+// Returns 0 ok, 201 iter limit, 202 matrix not posdef, 203 precond not
+// posdef, 204 no progress, 205 inf/nan, 999 deadline exceeded.
+ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const ipxint* Ai,
+                     const double* Ax, const double* W, const double* diag,
+                     const double* resscale, const double* rhs, double tol,
+                     ipxint maxiter, double deadline_s, double* lhs,
+                     ipxint* out_iters) {
+    if (maxiter < 0) maxiter = m + 100;
+    std::vector<double> residual(rhs, rhs + m);
+    std::vector<double> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
+    std::vector<double> inv_diag(m);
+    for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
+    std::fill(lhs, lhs + m, 0.0);
+
+    auto precond = [&](const double* in, double* out) {
+        double dot = 0.0;
+        for (ipxint i = 0; i < m; i++) {
+            out[i] = in[i] * inv_diag[i];
+            dot += out[i] * in[i];
+        }
+        return dot;
+    };
+
+    double rpn = precond(residual.data(), sresidual.data());
+    double cdot = ipxlu_normal_apply(m, n, Ap, Ai, Ax, W, sresidual.data(),
+                                     Csres.data());
+    step = sresidual;
+    Cstep = Csres;
+    ipxint it = 0;
+    ipxint err = 0;
+
+    auto now_s = []() {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
+
+    while (true) {
+        double resnorm = 0.0;
+        for (ipxint i = 0; i < m; i++)
+            resnorm = std::max(resnorm,
+                               std::fabs(resscale[i] * residual[i]));
+        if (resnorm <= tol) break;
+        if (it >= maxiter) { err = 201; break; }
+        if (cdot <= 0.0) { err = 202; break; }
+
+        double pdot = precond(Cstep.data(), pcd.data());
+        if (pdot <= 0.0) { err = 203; break; }
+        double alpha = cdot / pdot;
+        if (!std::isfinite(alpha)) { err = 205; break; }
+        for (ipxint i = 0; i < m; i++) {
+            lhs[i] += alpha * step[i];
+            residual[i] -= alpha * Cstep[i];
+            sresidual[i] -= alpha * pcd[i];
+        }
+        double cdot_new = ipxlu_normal_apply(m, n, Ap, Ai, Ax, W,
+                                             sresidual.data(), Csres.data());
+        double beta = cdot_new / cdot;
+        for (ipxint i = 0; i < m; i++) {
+            step[i] = sresidual[i] + beta * step[i];
+            Cstep[i] = Csres[i] + beta * Cstep[i];
+        }
+        cdot = cdot_new;
+        it++;
+        if (it % 5 == 0) {
+            // Recompute the preconditioned residual from its definition and
+            // require monotone decrease. Only sresidual is replaced — the
+            // recurrence quantities carry over, exactly as the reference
+            // does (reference: src/conjugate_residuals.cc:183-207).
+            double rsdot = precond(residual.data(), sresidual.data());
+            if (rsdot >= rpn) { err = 204; break; }
+            rpn = rsdot;
+            if (deadline_s > 0.0 && now_s() > deadline_s) {
+                err = 999;
+                break;
+            }
+        }
+    }
+    *out_iters = it;
+    return err;
 }
 
 // ---------------------------------------------------------------------

@@ -47,11 +47,18 @@ def transportation(num_sources: int, num_sinks: int, density: float = 0.25,
         Ap.append(len(Ai))
 
     demand = rng.uniform(1.0, 10.0, size=num_sinks)
-    total_demand = demand.sum()
-    supply = rng.uniform(1.0, 10.0, size=num_sources)
-    supply *= 1.3 * total_demand / supply.sum()     # 30% slack capacity
+    # guarantee feasibility: assign each sink's demand to one incident
+    # source and give that source the supply (plus headroom)
+    supply = np.zeros(num_sources)
+    sink_arcs = {}
+    for (i, j) in arcs:
+        sink_arcs.setdefault(j, []).append(i)
+    for j in range(num_sinks):
+        i = sink_arcs[j][int(rng.integers(len(sink_arcs[j])))]
+        supply[i] += demand[j]
+    supply += rng.uniform(0.5, 3.0, size=num_sources)   # slack headroom
     cost = rng.uniform(1.0, 20.0, size=n)
-    cap = np.full(n, max(10.0, 2.0 * demand.max()))
+    cap = np.full(n, float(demand.max() * 2.0))
 
     rhs = np.concatenate([supply, demand])
     ctype = "<" * num_sources + ">" * num_sinks
