@@ -103,10 +103,14 @@ class IPM:
         zl = np.asarray(zl, dtype=float).copy()
         zu = np.asarray(zu, dtype=float).copy()
 
-        prods_l = (xl > 0.0) & (zl > 0.0)
-        prods_u = (xu > 0.0) & (zu > 0.0)
+        finl0 = np.isfinite(lb)
+        finu0 = np.isfinite(ub)
+        prods_l = finl0 & (xl > 0.0) & (zl > 0.0)
+        prods_u = finu0 & (xu > 0.0) & (zu > 0.0)
         num = int(prods_l.sum() + prods_u.sum())
-        total = float((xl * zl)[prods_l].sum() + (xu * zu)[prods_u].sum())
+        with np.errstate(invalid="ignore"):
+            total = float((xl * zl)[prods_l].sum()
+                          + (xu * zu)[prods_u].sum())
         mu = total / num if num else 1.0
 
         finl = np.isfinite(lb)
