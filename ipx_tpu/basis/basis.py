@@ -71,6 +71,7 @@ class Basis:
         self.time_update = 0.0
         self.time_factorize = 0.0
         self.fill_factors = []
+        self._tabbuf = None           # persistent tableau accumulator
 
         self.set_to_slack_basis()
 
@@ -304,18 +305,35 @@ class Basis:
                 is_sparse = False
 
         if is_sparse:
+            from ..utils import multirange_indices
             bi = btran.pattern
             bv = btran.values[bi]
-            # structural part: sum_i btran[i] * A[i,:] over btran's pattern
-            sub = md.A_csr[bi]
-            vals = sub.T @ bv
-            struct_idx = np.nonzero(vals)[0]
+            # structural part: sum_i btran[i] * A[i,:] over btran's pattern,
+            # via a multi-range gather of the CSR rows (no scipy fancy
+            # indexing, no full-length scans)
+            indptr = md.A_csr.indptr
+            starts = indptr[bi].astype(np.int64)
+            lens = (indptr[bi + 1] - indptr[bi]).astype(np.int64)
+            pos = multirange_indices(starts, lens)
+            cols = md.A_csr.indices[pos]
+            contrib = md.A_csr.data[pos] * np.repeat(bv, lens)
+            if self._tabbuf is None or self._tabbuf.shape[0] != n + m:
+                self._tabbuf = np.zeros(n + m)
+            buf = self._tabbuf
+            np.add.at(buf, cols, contrib)
+            cand = np.unique(cols)
+            vals = buf[cand]
+            buf[cand] = 0.0                      # restore zeros
+            nzc = vals != 0.0
+            struct_idx = cand[nzc]
+            vals = vals[nzc]
             # keep only nonbasic (and optionally fixed) columns
             mp = self.map2basis[struct_idx]
             keep = (mp == -1) | ((mp == -2) & (not ignore_fixed))
             struct_idx = struct_idx[keep]
+            vals = vals[keep]
             out = np.zeros(n + m)
-            out[struct_idx] = vals[struct_idx]
+            out[struct_idx] = vals
             # slack part: row entry of slack i is btran[i]
             slack_idx = bi + n
             mp = self.map2basis[slack_idx]

@@ -16,7 +16,7 @@ HYPERSPARSE_THRESHOLD = 0.1
 
 
 class IndexedVector:
-    __slots__ = ("values", "pattern")
+    __slots__ = ("values", "pattern", "_patbuf")
 
     def __init__(self, dim: int):
         self.values = np.zeros(dim)

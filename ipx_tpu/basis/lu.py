@@ -265,8 +265,7 @@ class NativeLu(LuUpdate):
     def ftran_for_update(self, bi, bx, lhs: Optional[IndexedVector] = None):
         bi = np.ascontiguousarray(bi, dtype=np.int64)
         bx = np.ascontiguousarray(bx, dtype=np.float64)
-        sol = np.zeros(self.dim)
-        pat = np.zeros(self.dim, dtype=np.int64)
+        sol, pat = _solve_buffers(lhs, self)
         nz = int(self.lib.ipxlu_ftran_for_update(
             self.handle, len(bi), bi, bx, sol, pat))
         if lhs is not None:
@@ -280,8 +279,7 @@ class NativeLu(LuUpdate):
         if lhs is None:
             self.lib.ipxlu_stage_btran(self.handle, pos)
             return None
-        sol = np.zeros(self.dim)
-        pat = np.zeros(self.dim, dtype=np.int64)
+        sol, pat = _solve_buffers(lhs, self)
         nz = int(self.lib.ipxlu_btran_for_update(self.handle, pos, sol, pat))
         if nz >= 0:
             lhs.set_sparse(sol, np.sort(pat[:nz]))
@@ -301,6 +299,25 @@ class NativeLu(LuUpdate):
 
 _EMPTY_D = np.zeros(1)
 _EMPTY_I = np.zeros(1, dtype=np.int64)
+
+
+def _solve_buffers(lhs, lu):
+    """Persistent output buffers: the IndexedVector's own value array (the
+    kernel overwrites every entry it needs) plus a pattern buffer attached to
+    it, avoiding two allocations per solve."""
+    if lhs is None:
+        sol = np.zeros(lu.dim)
+        pat = np.zeros(lu.dim, dtype=np.int64)
+        return sol, pat
+    if (lhs.values.shape[0] != lu.dim
+            or not lhs.values.flags["C_CONTIGUOUS"]
+            or lhs.values.dtype != np.float64):
+        lhs.values = np.zeros(lu.dim)
+    patbuf = getattr(lhs, "_patbuf", None)
+    if patbuf is None or patbuf.shape[0] != lu.dim:
+        patbuf = np.zeros(lu.dim, dtype=np.int64)
+        lhs._patbuf = patbuf
+    return lhs.values, patbuf
 
 
 class DenseLu(LuUpdate):

@@ -12,6 +12,23 @@ def infnorm(x: np.ndarray) -> float:
     return float(np.max(np.abs(x))) if x.size else 0.0
 
 
+def multirange_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of [starts[k], starts[k]+lens[k]) ranges without a
+    Python loop (the classic cumsum trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    steps = np.ones(total, dtype=np.int64)
+    startpos = np.zeros(len(lens), dtype=np.int64)
+    startpos[1:] = np.cumsum(lens[:-1])
+    nz = lens > 0
+    firsts = startpos[nz]
+    svals = starts[nz]
+    steps[firsts] = svals
+    steps[firsts[1:]] -= (svals + lens[nz] - 1)[:-1]
+    return np.cumsum(steps)
+
+
 def sortperm(values: np.ndarray, reverse: bool = False) -> np.ndarray:
     """Stable argsort (reference: src/utils.h Sortperm); used for crossover
     push order and crash-basis weight order."""
