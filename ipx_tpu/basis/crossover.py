@@ -339,9 +339,9 @@ class Crossover:
         if pblock < 0:
             return -1, True, step
 
-        # Second pass: maximum pivot among all that block within step.
-        pblock = -1
-        max_pivot = PIVOT_ZERO_TOL
+        # Second pass: maximum pivot among all that block within step
+        # (vectorized argmax; ties resolve to the first index like the
+        # reference's strict-improvement scan).
         with np.errstate(divide="ignore", invalid="ignore"):
             down = step * pivb < 0.0     # moves toward lower bound
             step_lb = (lbbasic[nzb] - xbasic[nzb]) / pivb
@@ -350,18 +350,10 @@ class Crossover:
         cand_ub = ~down & (step * pivb > 0.0) \
             & (np.abs(step_ub) <= abs(step))
         apiv = np.abs(pivb)
-        best = -1
-        for k in range(nzb.size):
-            if apiv[k] > max_pivot:
-                if cand_lb[k]:
-                    best = k
-                    block_at_lb = True
-                    max_pivot = apiv[k]
-                elif cand_ub[k]:
-                    best = k
-                    block_at_lb = False
-                    max_pivot = apiv[k]
-        assert best >= 0
+        ok = (cand_lb | cand_ub) & (apiv > PIVOT_ZERO_TOL)
+        assert np.any(ok)
+        best = int(np.argmax(np.where(ok, apiv, -1.0)))
+        block_at_lb = bool(cand_lb[best])
         return int(nzb[best]), block_at_lb, step
 
     def _dual_ratio_test(self, z, row: IndexedVector, sign_restrict, step,
@@ -397,18 +389,14 @@ class Crossover:
         if jblock < 0:
             return -1, step
 
-        jblock = -1
-        max_pivot = PIVOT_ZERO_TOL
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio_ok = np.abs(z[nzb] / pivb) <= abs(step)
         sp = step * pivb
         cand = ratio_ok & ((pos & (sp > 0.0)) | (neg & (sp < 0.0)))
         apiv = np.abs(pivb)
-        for k in range(nzb.size):
-            if apiv[k] > max_pivot and cand[k]:
-                jblock = int(nzb[k])
-                max_pivot = apiv[k]
-        assert jblock >= 0
+        ok = cand & (apiv > PIVOT_ZERO_TOL)
+        assert np.any(ok)
+        jblock = int(nzb[int(np.argmax(np.where(ok, apiv, -1.0)))])
         return jblock, step
 
     def _set_status(self, info: Info) -> None:

@@ -187,6 +187,15 @@ class DeviceNormalCR:
             return False
         if model.A is None or model.A.nnz < cls.MIN_NNZ_AUTO:
             return False
+        # auto mode only trusts a production TPU runtime; experimental
+        # tunnel backends (e.g. 'axon' remote-compile) have pathological
+        # compile times for gather-heavy programs. device="tpu" still
+        # forces the path.
+        try:
+            if jax.default_backend() not in ("tpu",):
+                return False
+        except Exception:
+            return False
         return True
 
     def __init__(self, model: Model, W: np.ndarray, diag: np.ndarray,
