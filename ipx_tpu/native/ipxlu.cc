@@ -92,7 +92,22 @@ struct IpxLu {
 
     // stats of last solves (for hypersparsity accounting in the wrapper)
     ipxint last_nz = -1;
+
+    // factorization workspaces reused across calls (capacity persists)
+    std::vector<std::vector<ipxint>> f_colrow, f_rowpat, f_Lrows, f_Ucols;
+    std::vector<std::vector<double>> f_colval, f_Lvals, f_Uvals;
+    std::vector<ipxint> f_rowcount, f_wpos, f_stamp, f_rstamp, f_sstamp;
+    std::vector<char> f_colpiv, f_rowpiv;
+    std::vector<double> f_colmax;      // cached per-column max |value|
+    std::vector<char> f_cmvalid;
 };
+
+// clears inner vectors, keeping their heap capacity
+template <typename T>
+static void reset_nested(std::vector<std::vector<T>>& v, size_t n) {
+    v.resize(n);
+    for (auto& inner : v) inner.clear();
+}
 
 // ---------------------------------------------------------------------
 // Factorization
@@ -116,12 +131,15 @@ struct CountList {
     }
     void remove(ipxint j) {
         ipxint c = count[j];
+        if (c < 0) return;              // not in any list
         if (prev[j] >= 0) next[prev[j]] = next[j];
         else head[c] = next[j];
         if (next[j] >= 0) prev[next[j]] = prev[j];
         next[j] = prev[j] = -1;
+        count[j] = -1;
     }
     void update(ipxint j, ipxint c) { remove(j); insert(j, c); }
+    bool contains(ipxint j) const { return count[j] >= 0; }
 };
 
 // Builds factors from the active-matrix elimination. Returns status bits:
@@ -137,11 +155,15 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.btran_pos = -1;
     lu.dependent.clear();
 
-    // ---- load B into dynamic column structure ----
-    std::vector<std::vector<ipxint>> colrow(m);
-    std::vector<std::vector<double>> colval(m);
-    std::vector<std::vector<ipxint>> rowpat(m);   // may contain stale cols
-    std::vector<ipxint> rowcount(m, 0);
+    // ---- load B into dynamic column structure (workspaces reused) ----
+    reset_nested(lu.f_colrow, m);
+    reset_nested(lu.f_colval, m);
+    reset_nested(lu.f_rowpat, m);
+    auto& colrow = lu.f_colrow;
+    auto& colval = lu.f_colval;
+    auto& rowpat = lu.f_rowpat;
+    lu.f_rowcount.assign(m, 0);
+    auto& rowcount = lu.f_rowcount;
     ipxint bnnz = 0;
     for (ipxint j = 0; j < m; j++) {
         ipxint len = Bend[j] - Bbegin[j];
@@ -163,7 +185,10 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     for (ipxint j = 0; j < m; j++)
         clist.insert(j, (ipxint)colrow[j].size());
 
-    std::vector<char> colpivotal(m, 0), rowpivotal(m, 0);
+    lu.f_colpiv.assign(m, 0);
+    lu.f_rowpiv.assign(m, 0);
+    auto& colpivotal = lu.f_colpiv;
+    auto& rowpivotal = lu.f_rowpiv;
     lu.rowperm.assign(m, -1);
     lu.colperm.assign(m, -1);
     lu.rowperm_inv.assign(m, -1);
@@ -171,61 +196,138 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.Udiag.assign(m, 0.0);
 
     // raw factor storage during elimination (original row / column indices)
-    std::vector<std::vector<ipxint>> Lrows(m);    // per step k: rows of L col
-    std::vector<std::vector<double>> Lvals(m);
-    std::vector<std::vector<ipxint>> Ucols(m);    // per step k: cols of U row
-    std::vector<std::vector<double>> Uvals(m);
+    reset_nested(lu.f_Lrows, m);
+    reset_nested(lu.f_Lvals, m);
+    reset_nested(lu.f_Ucols, m);
+    reset_nested(lu.f_Uvals, m);
+    auto& Lrows = lu.f_Lrows;
+    auto& Lvals = lu.f_Lvals;
+    auto& Ucols = lu.f_Ucols;
+    auto& Uvals = lu.f_Uvals;
 
     // dense workspaces for column updates
-    std::vector<ipxint> wpos(m, -1);     // position of row i in current col
-    std::vector<ipxint> stamp(m, -1);
-    std::vector<ipxint> rstamp(m, -1);   // dedupe for row patterns
+    lu.f_wpos.assign(m, -1);
+    lu.f_stamp.assign(m, -1);
+    lu.f_rstamp.assign(m, -1);
+    lu.f_sstamp.assign(m, -1);
+    lu.f_colmax.assign(m, 0.0);
+    lu.f_cmvalid.assign(m, 0);
+    auto& wpos = lu.f_wpos;
+    auto& stamp = lu.f_stamp;
+    auto& rstamp = lu.f_rstamp;
+    auto& sstamp = lu.f_sstamp;
+    auto& colmax_c = lu.f_colmax;
+    auto& cmvalid = lu.f_cmvalid;
 
-    const ipxint kMaxSearchCols = 64;
+    // row count list for the bidirectional Markowitz search
+    CountList rlist;
+    rlist.init(m);
+    for (ipxint i = 0; i < m; i++)
+        rlist.insert(i, rowcount[i]);
+
+    auto get_colmax = [&](ipxint j) -> double {
+        if (!cmvalid[j]) {
+            double cm = 0.0;
+            for (double v : colval[j]) cm = std::max(cm, std::fabs(v));
+            colmax_c[j] = cm;
+            cmvalid[j] = 1;
+        }
+        return colmax_c[j];
+    };
+
+    // Caps on the Markowitz search effort per pivot step.
+    const ipxint kClassCap = 3;      // count classes examined per side
+    const ipxint kColCap = 16;       // columns per class
+    const ipxint kRowCap = 8;        // rows per class
 
     ipxint rank = 0;
     for (ipxint k = 0; k < m; k++) {
-        // ---- pivot search ----
+        // ---- bidirectional Markowitz pivot search ----
+        // Examine the smallest nonempty column AND row count classes
+        // (bounded effort), choosing the eligible entry with minimum
+        // (ccount-1)*(rcount-1); |value| breaks ties. The optimal bound
+        // (cmin-1)*(rmin-1) allows early exit.
         ipxint bestcol = -1, bestrow = -1;
         double bestval = 0.0;
         ipxint bestmark = -1;
-        ipxint searched = 0;
-        for (ipxint c = 1; c <= m && bestmark != 0; c++) {
-            if (bestmark >= 0 && (ipxint)((c - 1) * (c - 1)) >= bestmark)
-                break;   // cannot improve in this or later classes
-            for (ipxint j = clist.head[c]; j >= 0; j = clist.next[j]) {
-                // scan column j
-                double colmax = 0.0;
-                for (double v : colval[j])
-                    colmax = std::max(colmax, std::fabs(v));
-                if (colmax > abstol) {
-                    double thresh = lu.pivottol * colmax;
-                    ipxint brow = -1; double bval = 0.0; ipxint brc = -1;
-                    for (size_t t = 0; t < colrow[j].size(); t++) {
-                        double av = std::fabs(colval[j][t]);
-                        if (av >= thresh) {
-                            ipxint rc = rowcount[colrow[j][t]];
-                            if (brc < 0 || rc < brc ||
-                                (rc == brc && av > std::fabs(bval))) {
-                                brc = rc; brow = colrow[j][t];
-                                bval = colval[j][t];
-                            }
-                        }
-                    }
-                    if (brow >= 0) {
-                        ipxint mark = (c - 1) * (brc - 1);
-                        if (bestmark < 0 || mark < bestmark ||
-                            (mark == bestmark &&
-                             std::fabs(bval) > std::fabs(bestval))) {
-                            bestmark = mark; bestcol = j; bestrow = brow;
-                            bestval = bval;
-                        }
-                        if (bestmark == 0) break;
+
+        ipxint cmin = 1;
+        while (cmin <= m && clist.head[cmin] < 0) cmin++;
+        ipxint rmin = 1;
+        while (rmin <= m && rlist.head[rmin] < 0) rmin++;
+        const ipxint lower_bound = (cmin <= m && rmin <= m)
+            ? (cmin - 1) * (rmin - 1) : 0;
+
+        auto consider = [&](ipxint j, ipxint i, double val, ipxint mark) {
+            if (bestmark < 0 || mark < bestmark ||
+                (mark == bestmark && std::fabs(val) > std::fabs(bestval))) {
+                bestmark = mark; bestcol = j; bestrow = i; bestval = val;
+            }
+        };
+
+        // column classes
+        ipxint classes = 0;
+        for (ipxint c = cmin; c <= m && classes < kClassCap; c++) {
+            if (clist.head[c] < 0) continue;
+            classes++;
+            if (bestmark >= 0 && (c - 1) * (rmin - 1) >= bestmark)
+                break;
+            ipxint seen = 0;
+            for (ipxint j = clist.head[c]; j >= 0 && seen < kColCap;
+                 j = clist.next[j], seen++) {
+                double cm = get_colmax(j);
+                if (cm <= abstol) continue;
+                double thresh = lu.pivottol * cm;
+                for (size_t t = 0; t < colrow[j].size(); t++) {
+                    double av = std::fabs(colval[j][t]);
+                    if (av >= thresh) {
+                        ipxint i = colrow[j][t];
+                        consider(j, i, colval[j][t],
+                                 (c - 1) * (rowcount[i] - 1));
                     }
                 }
-                if (++searched >= kMaxSearchCols && bestcol >= 0) break;
+                if (bestmark == lower_bound) break;
             }
-            if (searched >= kMaxSearchCols && bestcol >= 0) break;
+            if (bestmark == lower_bound) break;
+        }
+
+        // row classes (skip if already optimal)
+        if (bestmark != lower_bound) {
+            lu.flagstamp++;   // reuse global stamp for row-pattern dedupe
+            classes = 0;
+            for (ipxint rc = rmin; rc <= m && classes < kClassCap; rc++) {
+                if (rlist.head[rc] < 0) continue;
+                classes++;
+                if (bestmark >= 0 && (cmin - 1) * (rc - 1) >= bestmark)
+                    break;
+                ipxint seen = 0;
+                for (ipxint i = rlist.head[rc]; i >= 0 && seen < kRowCap;
+                     i = rlist.next[i], seen++) {
+                    for (ipxint j : rowpat[i]) {
+                        if (colpivotal[j] || sstamp[j] == lu.flagstamp)
+                            continue;
+                        sstamp[j] = lu.flagstamp;
+                        double cm = get_colmax(j);
+                        if (cm <= abstol) continue;
+                        // find a_ij
+                        double aij = 0.0;
+                        bool found = false;
+                        for (size_t t = 0; t < colrow[j].size(); t++)
+                            if (colrow[j][t] == i) {
+                                aij = colval[j][t];
+                                found = true;
+                                break;
+                            }
+                        if (!found) continue;
+                        if (std::fabs(aij) >= lu.pivottol * cm)
+                            consider(j, i,
+                                     aij, ((ipxint)colrow[j].size() - 1)
+                                     * (rc - 1));
+                    }
+                    if (bestmark == lower_bound) break;
+                }
+                if (bestmark == lower_bound) break;
+            }
         }
         if (bestcol < 0)
             break;      // no eligible pivot: remaining columns dependent
@@ -240,6 +342,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
         rowpivotal[r] = 1;
         colpivotal[jc] = 1;
         clist.remove(jc);
+        rlist.remove(r);
         rank++;
 
         // ---- form L column (multipliers) ----
@@ -251,6 +354,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
             Lr.push_back(i);
             Lv.push_back(colval[jc][t] / pivval);
             rowcount[i]--;
+            rlist.update(i, rowcount[i]);
         }
         rowcount[r] -= 1;
         colrow[jc].clear(); colval[jc].clear();
@@ -291,6 +395,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                         cv.push_back(delta);
                         rowpat[i].push_back(j);
                         rowcount[i]++;
+                        rlist.update(i, rowcount[i]);
                     }
                 }
                 // clear stamps for this column
@@ -298,6 +403,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                     if (stamp[cr[t]] == m + k) stamp[cr[t]] = -1;
             }
             clist.update(j, (ipxint)cr.size());
+            cmvalid[j] = 0;
         }
         rowpat[r].clear();
     }
