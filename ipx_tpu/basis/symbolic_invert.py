@@ -74,12 +74,11 @@ def symbolic_invert(model: Model, basis: np.ndarray):
     colcounts_p = reach_counts_to[labels]          # per permuted column
     rowcounts_p = reach_counts_from[labels]        # per permuted row
 
-    rowcounts = np.zeros(m, dtype=np.int64)
-    colcounts = np.zeros(m, dtype=np.int64)
-    # Bp columns are B columns permuted by match; inv(B) = Qinv inv(Bp):
-    # column k of B corresponds to column of Bp at position where match==...
-    rowcounts[:] = rowcounts_p
+    # Map back to B. With Bp = B Q (Q[k, j] = 1 iff match[j] = k):
+    # inv(B) = Q inv(Bp), so row k of inv(B) is row inv_match[k] of
+    # inv(Bp) while columns are unpermuted.
     inv_match = np.empty(m, dtype=np.int64)
     inv_match[match] = np.arange(m)
-    colcounts[:] = colcounts_p[inv_match]
+    rowcounts = rowcounts_p[inv_match].astype(np.int64)
+    colcounts = colcounts_p.astype(np.int64)
     return rowcounts, colcounts
