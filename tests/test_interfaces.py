@@ -130,3 +130,45 @@ def test_mps_reader(tmp_path):
     # x1>=0, x2>=-1 with x1+x3>=1 auto-satisfied -> x1=0, x2=-1: obj=-8,
     # check x3=6 >= ... x1+x3 = 6 >= 1 ok, x1+x2 = -1 <= 4 ok
     assert info.objval == pytest.approx(-8.0, abs=1e-6)
+
+
+RANGES_MPS = """NAME RANGETEST
+ROWS
+ N obj
+ L r1
+ G r2
+ E r3
+COLUMNS
+    x  obj  1.0  r1  1.0
+    x  r2   1.0  r3  1.0
+    y  obj  -1.0  r1  2.0
+    y  r2   1.0
+RHS
+    R  r1  10.0  r2  2.0
+    R  r3  4.0
+RANGES
+    RNG r1  4.0   r2  3.0
+    RNG r3  2.0
+BOUNDS
+ MI B y
+ENDATA
+"""
+
+
+def test_mps_ranges(tmp_path):
+    """RANGES rows become two-sided constraints: L row [rhs-|r|, rhs],
+    G row [rhs, rhs+|r|], E row with r>=0 [rhs, rhs+r]. Optimum checked
+    against scipy HiGHS on the equivalent two-sided formulation."""
+    path = str(tmp_path / "ranges.mps")
+    with open(path, "w") as f:
+        f.write(RANGES_MPS)
+    data = read_mps(path)
+    assert data.num_constr == 6         # 3 base + 3 range rows
+    from ipx_tpu import LpSolver
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    s = LpSolver(p)
+    assert data.load_into(s) == 0
+    assert s.solve() == int(Status.SOLVED)
+    assert s.get_info().objval == pytest.approx(3.0, abs=1e-7)
