@@ -301,8 +301,16 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                 if (bestmark >= 0 && (cmin - 1) * (rc - 1) >= bestmark)
                     break;
                 ipxint seen = 0;
-                for (ipxint i = rlist.head[rc]; i >= 0 && seen < kRowCap;
-                     i = rlist.next[i], seen++) {
+                ipxint i = rlist.head[rc];
+                while (i >= 0 && seen < kRowCap) {
+                    ipxint inext = rlist.next[i];
+                    if (rowcount[i] != rc) {
+                        // stale class entry: re-file and skip
+                        rlist.update(i, rowcount[i]);
+                        i = inext;
+                        continue;
+                    }
+                    seen++;
                     for (ipxint j : rowpat[i]) {
                         if (colpivotal[j] || sstamp[j] == lu.flagstamp)
                             continue;
@@ -325,6 +333,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                                      * (rc - 1));
                     }
                     if (bestmark == lower_bound) break;
+                    i = inext;
                 }
                 if (bestmark == lower_bound) break;
             }
@@ -353,8 +362,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
             if (i == r) continue;
             Lr.push_back(i);
             Lv.push_back(colval[jc][t] / pivval);
-            rowcount[i]--;
-            rlist.update(i, rowcount[i]);
+            rowcount[i]--;          // rlist revalidated lazily in the search
         }
         rowcount[r] -= 1;
         colrow[jc].clear(); colval[jc].clear();
@@ -394,8 +402,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                         cr.push_back(i);
                         cv.push_back(delta);
                         rowpat[i].push_back(j);
-                        rowcount[i]++;
-                        rlist.update(i, rowcount[i]);
+                        rowcount[i]++;  // rlist revalidated lazily
                     }
                 }
                 // clear stamps for this column
