@@ -93,6 +93,10 @@ struct IpxLu {
     // stats of last solves (for hypersparsity accounting in the wrapper)
     ipxint last_nz = -1;
 
+    // factorization phase timings (seconds, accumulated)
+    double t_search = 0.0, t_elim = 0.0, t_build = 0.0;
+    ipxint elim_stamp = 0;        // monotone stamp counter (never reset)
+
     // factorization workspaces reused across calls (capacity persists)
     std::vector<std::vector<ipxint>> f_colrow, f_rowpat, f_Lrows, f_Ucols;
     std::vector<std::vector<double>> f_colval, f_Lvals, f_Uvals;
@@ -240,8 +244,13 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     const ipxint kColCap = 16;       // columns per class
     const ipxint kRowCap = 8;        // rows per class
 
+    auto now_s2 = []() {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
     ipxint rank = 0;
     for (ipxint k = 0; k < m; k++) {
+        double t0_ = now_s2();
         // ---- bidirectional Markowitz pivot search ----
         // Examine the smallest nonempty column AND row count classes
         // (bounded effort), choosing the eligible entry with minimum
@@ -338,8 +347,10 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                 if (bestmark == lower_bound) break;
             }
         }
+        lu.t_search += now_s2() - t0_;
         if (bestcol < 0)
             break;      // no eligible pivot: remaining columns dependent
+        t0_ = now_s2();
 
         const ipxint r = bestrow, jc = bestcol;
         const double pivval = bestval;
@@ -386,17 +397,20 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
             Uc.push_back(j);
             Uv.push_back(u);
 
-            // column update: col_j -= u * Lcol
+            // column update: col_j -= u * Lcol. A monotone stamp counter
+            // uniquely marks this (pivot, column) pass, so no clear pass
+            // is needed afterwards.
             if (!Lr.empty()) {
-                // load positions of column j
-                for (size_t t = 0; t < cr.size(); t++) {
-                    stamp[cr[t]] = m + k;     // unique per (step)
+                const ipxint sv = ++lu.elim_stamp;
+                const size_t old_len = cr.size();
+                for (size_t t = 0; t < old_len; t++) {
+                    stamp[cr[t]] = sv;
                     wpos[cr[t]] = (ipxint)t;
                 }
                 for (size_t t = 0; t < Lr.size(); t++) {
                     ipxint i = Lr[t];
                     double delta = -Lv[t] * u;
-                    if (stamp[i] == m + k) {
+                    if (stamp[i] == sv) {
                         cv[wpos[i]] += delta;
                     } else {
                         cr.push_back(i);
@@ -405,15 +419,14 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
                         rowcount[i]++;  // rlist revalidated lazily
                     }
                 }
-                // clear stamps for this column
-                for (size_t t = 0; t < cr.size(); t++)
-                    if (stamp[cr[t]] == m + k) stamp[cr[t]] = -1;
             }
             clist.update(j, (ipxint)cr.size());
             cmvalid[j] = 0;
         }
         rowpat[r].clear();
+        lu.t_elim += now_s2() - t0_;
     }
+    double tb0_ = now_s2();
 
     int status = 0;
     if (rank < m) {
@@ -498,6 +511,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     // treats input as columns; passing rows yields the transpose, so:
     build(Ucols, Uvals, lu.colperm_inv, lu.Ut, lu.U);
 
+    lu.t_build += now_s2() - tb0_;
     lu.factor_nnz = (ipxint)(lu.L.idx.size() + lu.U.idx.size()) + m;
     lu.have_factors = true;
     lu.work.assign(m, 0.0);
@@ -1013,6 +1027,13 @@ void ipxlu_tri_solve(void* h, double* x, ipxint which) {
     case 2: dense_ltsolve(lu.Lt, x, m); break;
     case 3: dense_utsolve(lu.Ut, lu.Udiag.data(), x, m); break;
     }
+}
+
+void ipxlu_get_phase_times(void* h, double* out3) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    out3[0] = lu.t_search;
+    out3[1] = lu.t_elim;
+    out3[2] = lu.t_build;
 }
 
 ipxint ipxlu_need_fresh(void* h) {
