@@ -30,11 +30,20 @@ _jax = None
 
 
 def _get_jax():
-    """Lazy jax import with x64 enabled."""
+    """Lazy jax import with x64 enabled and a persistent compilation cache
+    (compile times dominate on remote-compile TPU attachments)."""
     global _jax
     if _jax is None:
         import jax
         jax.config.update("jax_enable_x64", True)
+        try:
+            import os
+            cache = os.path.join(os.path.expanduser("~"),
+                                 ".cache", "ipx_tpu_jax")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
         _jax = jax
     return _jax
 

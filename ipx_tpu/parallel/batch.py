@@ -46,7 +46,8 @@ class BatchedLp:
 def _jx():
     import jax
     jax.config.update("jax_enable_x64", True)
-    return jax
+    from ..ops.device_cr import _get_jax
+    return _get_jax()
 
 
 class BatchedPhase1Solver:
