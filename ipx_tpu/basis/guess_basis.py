@@ -44,12 +44,46 @@ def guess_basis(control: Control, model: Model,
 
 def _process_free_columns(control, model, weights, basis, rownumber, active):
     """Incomplete left-looking LU over free columns
-    (reference: src/guess_basis.cc:66-108)."""
+    (reference: src/guess_basis.cc:66-108). Uses the native kernel when
+    available; pure-Python fallback below."""
     m, n = model.num_rows, model.num_cols
     free_cols = np.nonzero(np.isinf(weights))[0]
     num_free = 0
     if free_cols.size == 0:
         return
+    try:
+        import ctypes
+        from .lu import _load_lib
+        lib = _load_lib()
+        if not hasattr(lib, "_guessfree_ready"):
+            I = ctypes.c_int64
+            IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            BA = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.ipxlu_guess_free.restype = I
+            lib.ipxlu_guess_free.argtypes = [I, IA, IA, DA, I, IA, IA, I, BA]
+            lib._guessfree_ready = True
+        A = model.A
+        Ap = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        Ai = np.ascontiguousarray(A.indices, dtype=np.int64)
+        Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+        # free columns are structural only (slacks always have a finite
+        # bound); assert defensively and fall back otherwise
+        if free_cols.size and free_cols.max() >= n:
+            raise RuntimeError("free slack column")
+        order = np.ascontiguousarray(free_cols, dtype=np.int64)
+        chosen = np.zeros(order.size, dtype=np.int8)
+        num_free = int(lib.ipxlu_guess_free(m, Ap, Ai, Ax, order.size,
+                                            order, rownumber, len(basis),
+                                            chosen))
+        basis.extend(int(j) for j, f in zip(order, chosen) if f)
+        active[free_cols] = False
+        control.debug(
+            Control.textline("Number of free variables in starting basis:")
+            + f"{num_free}\n")
+        return
+    except Exception:
+        pass
     # L columns stored as (rows, values) lists; row indices unpermuted.
     Lcols_rows: List[np.ndarray] = []
     Lcols_vals: List[np.ndarray] = []

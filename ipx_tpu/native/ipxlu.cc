@@ -1167,6 +1167,111 @@ ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const ipxint* Ai,
 }
 
 // ---------------------------------------------------------------------
+// Crash stage 1: incomplete left-looking LU over free columns (counterpart
+// of the free-column stage of the reference crash,
+// reference: src/guess_basis.cc:11-108). For each free column in order,
+// computes L \ A[:,j] with topological-DFS pattern; if the largest
+// not-yet-pivotal entry exceeds the dependency tolerance the column joins
+// the basis and contributes an L column (off-diagonals restricted to the
+// column's original pattern). rownumber[i] = basis position if row i
+// pivotal. chosen[t] = 1 if order[t] entered. Returns count chosen.
+ipxint ipxlu_guess_free(ipxint m, const ipxint* Ap, const ipxint* Ai,
+                        const double* Ax, ipxint norder,
+                        const ipxint* order, ipxint* rownumber,
+                        ipxint basis_size0, int8_t* chosen) {
+    const double kDepTol = 1e-3;
+    std::vector<ipxint> Lp(1, 0), Li;
+    std::vector<double> Lx;
+    std::vector<double> lhs(m, 0.0);
+    std::vector<ipxint> marked(m, -1), pattern(m), nodestack(m), estack(m);
+    std::vector<ipxint> lcol(m, -1);   // row -> L column of THIS stage
+    ipxint nchosen = 0;
+    ipxint basis_size = basis_size0;
+
+    for (ipxint t = 0; t < norder; t++) {
+        ipxint j = order[t];
+        chosen[t] = 0;
+        // --- pattern DFS: reach of pattern(A[:,j]) through L's columns
+        // (node i has neighbours = column rownumber[i] of L when pivotal)
+        ipxint top = m;
+        for (ipxint p = Ap[j]; p < Ap[j + 1]; p++) {
+            ipxint istart = Ai[p];
+            if (marked[istart] == t) continue;
+            // iterative DFS
+            ipxint head = 0;
+            nodestack[0] = istart;
+            while (head >= 0) {
+                ipxint i = nodestack[head];
+                ipxint k = lcol[i];
+                if (marked[i] != t) {
+                    marked[i] = t;
+                    estack[head] = (k >= 0) ? Lp[k] : 0;
+                }
+                ipxint pend = (k >= 0) ? Lp[k + 1] : 0;
+                bool descended = false;
+                ipxint e = estack[head];
+                while (e < pend) {
+                    ipxint inew = Li[e];
+                    e++;
+                    if (marked[inew] != t) {
+                        estack[head] = e;
+                        head++;
+                        nodestack[head] = inew;
+                        descended = true;
+                        break;
+                    }
+                }
+                if (!descended) {
+                    estack[head] = e;
+                    head--;
+                    top--;
+                    pattern[top] = i;
+                }
+            }
+        }
+        // --- numeric phase in topological order
+        for (ipxint q = top; q < m; q++)
+            lhs[pattern[q]] = 0.0;
+        for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+            lhs[Ai[p]] = Ax[p];
+        double lhsmax = 0.0;
+        ipxint imax = -1;
+        for (ipxint q = top; q < m; q++) {
+            ipxint i = pattern[q];
+            double temp = lhs[i];
+            ipxint k = lcol[i];
+            if (temp != 0.0) {
+                if (k >= 0) {
+                    for (ipxint p = Lp[k]; p < Lp[k + 1]; p++)
+                        lhs[Li[p]] -= Lx[p] * temp;
+                } else if (std::fabs(temp) > lhsmax) {
+                    lhsmax = std::fabs(temp);
+                    imax = i;
+                }
+            }
+        }
+        double pivot = imax >= 0 ? lhs[imax] : 0.0;
+        if (std::fabs(pivot) > kDepTol) {
+            rownumber[imax] = basis_size;
+            lcol[imax] = nchosen;
+            basis_size++;
+            // new L column restricted to pattern of A[:,j]
+            for (ipxint p = Ap[j]; p < Ap[j + 1]; p++) {
+                ipxint i = Ai[p];
+                if (rownumber[i] < 0 && lhs[i] != 0.0) {
+                    Li.push_back(i);
+                    Lx.push_back(lhs[i] / pivot);
+                }
+            }
+            Lp.push_back((ipxint)Li.size());
+            chosen[t] = 1;
+            nchosen++;
+        }
+    }
+    return nchosen;
+}
+
+// ---------------------------------------------------------------------
 // Standalone maximum-matching kernel (crash basis construction).
 // Alternating augmenting-path matching processed in a caller-given column
 // order (counterpart of the matching stage of the reference crash,
