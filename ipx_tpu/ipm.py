@@ -488,6 +488,18 @@ class IPM:
                 f"  kktiter {kkt.iter if kkt else 0:7d}"
                 f"  P.fixed {info.dual_dropped:7d}"
                 f"  D.fixed {info.primal_dropped:7d}\n")
+        if (self.control.parameters.debug >= 4 and self.kkt is not None
+                and self.kkt.basis is not None):
+            # svdmin(B) and structural density of inv(B)
+            # (reference: src/ipm.cc:676-689)
+            from time import perf_counter
+            basis = self.kkt.basis
+            svdmin = basis.min_singular_value()
+            t0 = perf_counter()
+            density = basis.density_inverse()
+            info.time_symb_invert += perf_counter() - t0
+            self.control.debug(
+                f"   svdmin(B) {svdmin:9.2e}  density {density:8.2e}\n", 4)
 
 
 def _step_to_boundary(x: np.ndarray, dx: np.ndarray) -> float:
