@@ -51,6 +51,13 @@ class LuUpdate:
     def solve_dense(self, rhs: np.ndarray, trans: bool) -> np.ndarray:
         raise NotImplementedError
 
+    def tri_solve(self, x: np.ndarray, which: int) -> np.ndarray:
+        """Single triangular solve with the FRESH factors in position space:
+        which 0 solves (L+I)y = x, 1 solves Uy = x, 2 solves (L+I)'y = x,
+        3 solves U'y = x. Updates (etas) are NOT applied — callers require a
+        fresh factorization (reference: src/splitted_normal_matrix.cc)."""
+        raise NotImplementedError
+
     def ftran_for_update(self, bi, bx, lhs: Optional[IndexedVector] = None):
         """Solves B x = b (sparse rhs) and stages b as the entering column."""
         raise NotImplementedError
@@ -262,6 +269,11 @@ class NativeLu(LuUpdate):
         self.lib.ipxlu_solve_dense(self.handle, rhs, lhs, int(trans))
         return lhs
 
+    def tri_solve(self, x: np.ndarray, which: int) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        self.lib.ipxlu_tri_solve(self.handle, x, int(which))
+        return x
+
     def ftran_for_update(self, bi, bx, lhs: Optional[IndexedVector] = None):
         bi = np.ascontiguousarray(bi, dtype=np.int64)
         bx = np.ascontiguousarray(bx, dtype=np.float64)
@@ -404,6 +416,14 @@ class DenseLu(LuUpdate):
             x -= w * xp
             x[pos] = xp
         return x
+
+    def tri_solve(self, x: np.ndarray, which: int) -> np.ndarray:
+        import scipy.linalg as sla
+        lower = which in (0, 2)
+        trans = 1 if which in (2, 3) else 0
+        return sla.solve_triangular(self._lu, np.asarray(x, dtype=float),
+                                    lower=lower, trans=trans,
+                                    unit_diagonal=lower, check_finite=False)
 
     def ftran_for_update(self, bi, bx, lhs=None):
         b = np.zeros(self.dim)

@@ -90,9 +90,7 @@ class SplittedNormalMatrix(LinearOperator):
         self.prepared = True
 
     def _tri(self, x: np.ndarray, which: int) -> np.ndarray:
-        x = np.ascontiguousarray(x)
-        self._lu.lib.ipxlu_tri_solve(self._lu.handle, x, which)
-        return x
+        return self._lu.tri_solve(x, which)
 
     def _apply(self, rhs: np.ndarray, want_dot: bool):
         """reference: src/splitted_normal_matrix.cc:90-117"""

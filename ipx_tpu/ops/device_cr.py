@@ -186,8 +186,6 @@ class DeviceNormalCR:
     # Minimum problem size for the device path to pay off in auto mode.
     MIN_NNZ_AUTO = 20_000
 
-    _fn_cache: dict = {}
-
     @classmethod
     def worthwhile(cls, model: Model) -> bool:
         try:

@@ -24,41 +24,6 @@ def csc_from_arrays(num_rows: int, num_cols: int, Ap, Ai, Ax) -> sp.csc_matrix:
     return A
 
 
-def check_csc(num_rows: int, num_cols: int, Ap, Ai, Ax) -> bool:
-    """Validate a user-supplied CSC triple in IPX semantics: monotone column
-    pointers starting at 0, in-range ascending row indices without duplicates,
-    finite nonzero values (reference: src/sparse_matrix.cc checks used by
-    src/user_model.cc:CopyInput)."""
-    Ap = np.asarray(Ap)
-    Ai = np.asarray(Ai)
-    Ax = np.asarray(Ax)
-    if Ap.ndim != 1 or Ap.shape[0] != num_cols + 1:
-        return False
-    if Ap[0] != 0:
-        return False
-    if np.any(np.diff(Ap) < 0):
-        return False
-    nnz = int(P_last(Ap))
-    if Ai.shape[0] < nnz or Ax.shape[0] < nnz:
-        return False
-    Ai = Ai[:nnz]
-    Ax = Ax[:nnz]
-    if nnz and (Ai.min() < 0 or Ai.max() >= num_rows):
-        return False
-    # each column: strictly increasing row indices (sorted, no duplicates)
-    for j in range(num_cols):
-        col = Ai[Ap[j]:Ap[j + 1]]
-        if col.size > 1 and np.any(np.diff(col) <= 0):
-            return False
-    if nnz and not np.all(np.isfinite(Ax)):
-        return False
-    return True
-
-
-def P_last(Ap) -> int:
-    return int(Ap[-1]) if len(Ap) else 0
-
-
 # ----------------------------------------------------------------------
 # Fused normal-matrix products on host (correctness reference for the
 # device kernels; reference: src/sparse_matrix.cc AddNormalProduct and

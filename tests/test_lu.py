@@ -141,3 +141,25 @@ def test_slack_identity_basis():
     b = np.arange(1.0, m + 1)
     assert np.allclose(lu.solve_dense(b, False), b)
     assert np.allclose(lu.solve_dense(b, True), b)
+
+
+def test_generic_lu_kernel_full_solve():
+    """lu_kernel=1 selects the generic (dense) kernel; the full pipeline —
+    including the phase-2 splitted-normal triangular solves and crossover —
+    must produce the same solution as the native kernel (reference seam:
+    src/basis.cc:24-29 lu_kernel dispatch)."""
+    from ipx_tpu import LpSolver, Parameters
+    from lp_fixtures import afiro, AFIRO_OBJECTIVE
+
+    objs = []
+    for kernel in (0, 1):
+        p = Parameters()
+        p.display = 0
+        p.device = "cpu"
+        p.lu_kernel = kernel
+        s = LpSolver(p)
+        assert afiro().load_into(s) == 0
+        assert s.solve() == 1000
+        objs.append(s.get_info().objval)
+    assert objs[0] == pytest.approx(AFIRO_OBJECTIVE, rel=1e-7)
+    assert objs[1] == pytest.approx(objs[0], rel=1e-7)
