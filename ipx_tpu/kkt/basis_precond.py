@@ -136,18 +136,36 @@ class KKTSolverBasis(KKTSolver):
         colperm = self.splitted.colperm
         workp = rhs[colperm]
 
-        # CR on the preconditioned normal equations
+        # CR on the preconditioned normal equations; the whole loop runs in
+        # the native kernel when available (triangular solves + NN' product
+        # + recurrence without Python crossings per iteration).
         self.splitted.reset_time()
-        lhs = np.zeros(m)
-        cr = ConjugateResiduals(self.control)
-        cr.solve(self.splitted, workp, tol, None, self.maxiter, lhs)
-        info.errflag = cr.errflag
-        info.kktiter2 += cr.iter
-        info.time_cr2 += cr.time
+        if getattr(self.splitted, "_native", None) is not None:
+            from time import perf_counter
+            deadline = 0.0
+            tl = self.control.parameters.time_limit
+            if tl >= 0:
+                import time as _t
+                remaining = tl - self.control.elapsed()
+                deadline = _t.monotonic() + max(remaining, 0.0)
+            t0 = perf_counter()
+            lhs, iters, errflag = self.splitted.native_cr(
+                workp, tol, self.maxiter, deadline)
+            info.errflag = errflag
+            info.kktiter2 += iters
+            info.time_cr2 += perf_counter() - t0
+            self._iters += iters
+        else:
+            lhs = np.zeros(m)
+            cr = ConjugateResiduals(self.control)
+            cr.solve(self.splitted, workp, tol, None, self.maxiter, lhs)
+            info.errflag = cr.errflag
+            info.kktiter2 += cr.iter
+            info.time_cr2 += cr.time
+            self._iters += cr.iter
         info.time_cr2_NNt += self.splitted.time_NNt
         info.time_cr2_B += self.splitted.time_B
         info.time_cr2_Bt += self.splitted.time_Bt
-        self._iters += cr.iter
         if info.errflag:
             return np.zeros(n + m), np.zeros(m)
 

@@ -87,7 +87,62 @@ class SplittedNormalMatrix(LinearOperator):
         N.data *= scales.repeat(np.diff(N.indptr))
         self.N = N
         self.NT = N.T.tocsr()
+        self._prepare_native(lu)
         self.prepared = True
+
+    def _prepare_native(self, lu) -> None:
+        """Registers the operator with the native kernel so the whole
+        phase-2 CR loop can run without Python crossings."""
+        self._native = None
+        lib = getattr(lu, "lib", None)
+        handle = getattr(lu, "handle", None)
+        if lib is None or not handle:
+            return
+        try:
+            import ctypes as ct
+            if not hasattr(lib, "_splitted_ready"):
+                I = ct.c_int64
+                D = ct.c_double
+                P_ = ct.c_void_p
+                IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+                lib.ipxlu_splitted_prepare.argtypes = [P_, I, IA, IA, DA,
+                                                       DA, I, IA]
+                lib.ipxlu_cr_basis.restype = I
+                lib.ipxlu_cr_basis.argtypes = [P_, DA, D, I, D, DA,
+                                               ct.POINTER(I), DA]
+                lib._splitted_ready = True
+            N = self.N
+            Np = np.ascontiguousarray(N.indptr, dtype=np.int64)
+            Ni = np.ascontiguousarray(N.indices, dtype=np.int64)
+            Nx = np.ascontiguousarray(N.data, dtype=np.float64)
+            us = np.ascontiguousarray(self.uscale, dtype=np.float64)
+            fp = np.ascontiguousarray(self.free_positions, dtype=np.int64)
+            if fp.size == 0:
+                fp = np.zeros(1, dtype=np.int64)     # valid pointer
+            lib.ipxlu_splitted_prepare(handle, N.shape[1], Np, Ni, Nx, us,
+                                       self.free_positions.size, fp)
+            self._native = (lib, handle)
+        except Exception:
+            self._native = None
+
+    def native_cr(self, rhs: np.ndarray, tol: float, maxiter: int,
+                  deadline: float):
+        """Whole CR loop in the native kernel. Returns
+        (lhs, iters, errflag, (time_B, time_Bt, time_NNt))."""
+        import ctypes as ct
+        lib, handle = self._native
+        m = self.model.num_rows
+        lhs = np.zeros(m)
+        iters = ct.c_int64(0)
+        times = np.zeros(3)
+        err = int(lib.ipxlu_cr_basis(
+            handle, np.ascontiguousarray(rhs, dtype=np.float64), tol,
+            maxiter, deadline, lhs, ct.byref(iters), times))
+        self.time_B += times[0]
+        self.time_Bt += times[1]
+        self.time_NNt += times[2]
+        return lhs, iters.value, err
 
     def _tri(self, x: np.ndarray, which: int) -> np.ndarray:
         return self._lu.tri_solve(x, which)

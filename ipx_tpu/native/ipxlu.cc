@@ -104,6 +104,18 @@ struct IpxLu {
     std::vector<char> f_colpiv, f_rowpiv;
     std::vector<double> f_colmax;      // cached per-column max |value|
     std::vector<char> f_cmvalid;
+
+    // splitted-normal operator state for the phase-2 CR loop
+    // (counterpart of reference: src/splitted_normal_matrix.{h,cc}):
+    // N is the nonbasic partition of AI, rows in position space, columns
+    // scaled; uscale scales the basic columns; freepos are the BASIC_FREE
+    // positions whose rows/columns of C are unit vectors.
+    SparseCols Nmat;
+    std::vector<double> uscale;
+    std::vector<ipxint> freepos;
+    bool have_splitted = false;
+    double t_B = 0.0, t_Bt = 0.0, t_NNt = 0.0;
+    std::vector<double> s_w, s_res, s_Cres, s_step, s_Cstep;
 };
 
 // clears inner vectors, keeping their heap capacity
@@ -854,6 +866,57 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
     return nz;
 }
 
+static double now_monotonic_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
+// One application of the basis-preconditioned normal matrix
+//   C = I + inv(B~) N~ N~' inv(B~')
+// in factorization position space, with BASIC_FREE positions zeroed
+// (counterpart of reference: src/splitted_normal_matrix.cc:90-117).
+// The N~ N~' product runs as ONE pass over the columns of N (gather-dot then
+// scatter-add per column). Returns rhs . lhs fused with the product.
+static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
+    const ipxint m = lu.m;
+    const double* s = lu.uscale.data();
+    double* w = lu.s_w.data();
+
+    // w = inv(B~') rhs: (U S)'(L+I)' w = rhs
+    double t0 = now_monotonic_s();
+    for (ipxint i = 0; i < m; i++) w[i] = rhs[i] / s[i];
+    dense_utsolve(lu.Ut, lu.Udiag.data(), w, m);
+    dense_ltsolve(lu.Lt, w, m);
+    lu.t_Bt += now_monotonic_s() - t0;
+
+    // lhs = N N' w, one pass over N's columns
+    t0 = now_monotonic_s();
+    std::fill(lhs, lhs + m, 0.0);
+    const SparseCols& N = lu.Nmat;
+    const ipxint ncols = (ipxint)N.ptr.size() - 1;
+    for (ipxint j = 0; j < ncols; j++) {
+        const ipxint begin = N.ptr[j], end = N.ptr[j + 1];
+        double d = 0.0;
+        for (ipxint p = begin; p < end; p++)
+            d += w[N.idx[p]] * N.val[p];
+        if (d != 0.0)
+            for (ipxint p = begin; p < end; p++)
+                lhs[N.idx[p]] += d * N.val[p];
+    }
+    lu.t_NNt += now_monotonic_s() - t0;
+
+    // lhs := inv(B~) lhs + rhs; zero BASIC_FREE positions; fused dot
+    t0 = now_monotonic_s();
+    dense_lsolve(lu.L, lhs, m);
+    dense_usolve(lu.U, lu.Udiag.data(), lhs, m);
+    for (ipxint i = 0; i < m; i++) lhs[i] = lhs[i] / s[i] + rhs[i];
+    for (ipxint k : lu.freepos) lhs[k] = 0.0;
+    double dot = 0.0;
+    for (ipxint i = 0; i < m; i++) dot += rhs[i] * lhs[i];
+    lu.t_B += now_monotonic_s() - t0;
+    return dot;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -1348,6 +1411,99 @@ ipxint ipxlu_matching(ipxint nrows, ipxint ncols, const ipxint* Ap,
             break;
     }
     return num_matched;
+}
+
+// ---------------------------------------------------------------------
+// Splitted-normal operator + whole phase-2 CR loop in native code
+// (counterpart of reference: src/splitted_normal_matrix.cc +
+// src/conjugate_residuals.cc:14-88 + src/kkt_solver_basis.cc:145-156,
+// eliminating Python crossings per CR iteration).
+// ---------------------------------------------------------------------
+
+// Loads the nonbasic partition N (CSC; rows already permuted into position
+// space, columns already scaled by the caller), the basic column scales and
+// the BASIC_FREE positions. Requires fresh factors (no etas).
+void ipxlu_splitted_prepare(void* h, ipxint ncols, const ipxint* Np,
+                            const ipxint* Ni, const double* Nx,
+                            const double* uscale, ipxint nfree,
+                            const ipxint* freepos) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    const ipxint nnz = Np[ncols];
+    lu.Nmat.ptr.assign(Np, Np + ncols + 1);
+    lu.Nmat.idx.assign(Ni, Ni + nnz);
+    lu.Nmat.val.assign(Nx, Nx + nnz);
+    lu.uscale.assign(uscale, uscale + m);
+    lu.freepos.assign(freepos, freepos + nfree);
+    lu.s_w.assign(m, 0.0);
+    lu.s_res.assign(m, 0.0);
+    lu.s_Cres.assign(m, 0.0);
+    lu.s_step.assign(m, 0.0);
+    lu.s_Cstep.assign(m, 0.0);
+    lu.t_B = lu.t_Bt = lu.t_NNt = 0.0;
+    lu.have_splitted = true;
+}
+
+// Unpreconditioned CR on the splitted normal operator, lhs starting at 0
+// (reference: src/conjugate_residuals.cc:14-88; inf-norm termination, no
+// residual scaling in phase 2). Returns 0 ok, 201 iter limit, 202 matrix
+// not posdef, 205 inf/nan, 999 deadline exceeded. out_times = {B, Bt, NNt}
+// operator-time split for Info.
+ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
+                      double deadline_s, double* lhs, ipxint* out_iters,
+                      double* out_times) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    if (!lu.have_splitted) return -2;
+    if (maxiter < 0) maxiter = m + 100;
+    lu.t_B = lu.t_Bt = lu.t_NNt = 0.0;
+
+    double* residual = lu.s_res.data();
+    double* Cres = lu.s_Cres.data();
+    double* step = lu.s_step.data();
+    double* Cstep = lu.s_Cstep.data();
+    std::memcpy(residual, rhs, m * sizeof(double));
+    std::fill(lhs, lhs + m, 0.0);
+    double cdot = splitted_apply(lu, residual, Cres);
+    std::memcpy(step, residual, m * sizeof(double));
+    std::memcpy(Cstep, Cres, m * sizeof(double));
+
+    ipxint it = 0;
+    ipxint err = 0;
+    while (true) {
+        double resnorm = 0.0;
+        for (ipxint i = 0; i < m; i++)
+            resnorm = std::max(resnorm, std::fabs(residual[i]));
+        if (resnorm <= tol) break;
+        if (it >= maxiter) { err = 201; break; }
+        if (cdot <= 0.0) { err = 202; break; }
+        double denom = 0.0;
+        for (ipxint i = 0; i < m; i++) denom += Cstep[i] * Cstep[i];
+        double alpha = cdot / denom;
+        if (!std::isfinite(alpha)) { err = 205; break; }
+        for (ipxint i = 0; i < m; i++) {
+            lhs[i] += alpha * step[i];
+            residual[i] -= alpha * Cstep[i];
+        }
+        double cdot_new = splitted_apply(lu, residual, Cres);
+        double beta = cdot_new / cdot;
+        for (ipxint i = 0; i < m; i++) {
+            step[i] = residual[i] + beta * step[i];
+            Cstep[i] = Cres[i] + beta * Cstep[i];
+        }
+        cdot = cdot_new;
+        it++;
+        if (it % 5 == 0 && deadline_s > 0.0 &&
+            now_monotonic_s() > deadline_s) {
+            err = 999;
+            break;
+        }
+    }
+    *out_iters = it;
+    out_times[0] = lu.t_B;
+    out_times[1] = lu.t_Bt;
+    out_times[2] = lu.t_NNt;
+    return err;
 }
 
 }  // extern "C"
