@@ -24,6 +24,110 @@ PIVOT_ZERO_TOL = 1e-5      # reference: src/crossover.h:137
 INF = np.inf
 
 
+def _xover_native_ctx(basis: Basis):
+    """Binds the model to the native kernel for the whole-push-loop driver.
+    Returns (lib, handle) or None when the native kernel is unavailable."""
+    lu = basis.lu
+    lib = getattr(lu, "lib", None)
+    handle = getattr(lu, "handle", None)
+    if lib is None or not handle:
+        return None
+    md = basis.model
+    try:
+        import ctypes as ct
+        I = ct.c_int64
+        D = ct.c_double
+        P_ = ct.c_void_p
+        IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        if not hasattr(lib, "_xover_ready"):
+            lib.ipxlu_model_bind.argtypes = [P_, I, IA, IA, DA, IA, IA, DA]
+            common = [D, D, IA, IA, DA, DA, I, IA]
+            lib.ipxlu_xover_dual.restype = I
+            lib.ipxlu_xover_dual.argtypes = \
+                [P_, IA, IA, DA, DA, IA, IA, I, IA] + common
+            lib.ipxlu_xover_primal.restype = I
+            lib.ipxlu_xover_primal.argtypes = \
+                [P_, IA, IA, DA, DA, DA, DA, DA, DA, IA, I, IA] + common
+            lib._xover_ready = True
+        if not hasattr(md, "_native_csc"):
+            A = md.A
+            md._native_csc = (
+                np.ascontiguousarray(A.indptr, dtype=np.int64),
+                np.ascontiguousarray(A.indices, dtype=np.int64),
+                np.ascontiguousarray(A.data, dtype=np.float64))
+        if not hasattr(md, "_native_csr"):
+            R = md.A_csr
+            md._native_csr = (
+                np.ascontiguousarray(R.indptr, dtype=np.int64),
+                np.ascontiguousarray(R.indices, dtype=np.int64),
+                np.ascontiguousarray(R.data, dtype=np.float64))
+        Ap, Ai, Ax = md._native_csc
+        ARp, ARi, ARx = md._native_csr
+        lib.ipxlu_model_bind(handle, md.num_cols, Ap, Ai, Ax,
+                             ARp, ARi, ARx)
+        return lib, handle
+    except Exception:
+        return None
+
+
+class _PushDriver:
+    """Shared chunked-call driver for the native push loops: calls the
+    native function in ~1 s chunks, interleaving interval logging and
+    interrupt checks, and syncs basis statistics afterwards."""
+
+    FILLS_CAP = 256
+
+    def __init__(self, control: Control, basis: Basis):
+        self.control = control
+        self.basis = basis
+        self.ic = np.zeros(8, dtype=np.int64)
+        self.dc = np.zeros(4, dtype=np.float64)
+        self.fills = np.zeros(self.FILLS_CAP, dtype=np.float64)
+        self.nfills = np.zeros(1, dtype=np.int64)
+        self.next_i = np.zeros(1, dtype=np.int64)
+        self.fresh = np.array(
+            [1 if basis.factorization_is_fresh else 0], dtype=np.int64)
+
+    def run(self, call, nvars: int, label: str, info: Info) -> None:
+        """call(pause_abs) -> native return code."""
+        import time as _t
+        while True:
+            ret = int(call(_t.monotonic() + 1.0))
+            self.basis.fill_factors.extend(
+                self.fills[:int(self.nfills[0])].tolist())
+            if ret == 3:
+                self.control.interval_log(
+                    f" {nvars - int(self.next_i[0]):8d} {label} pushes "
+                    f"remaining ({int(self.ic[1]):7d} pivots)\n")
+                try:
+                    self.control.interrupt_check()
+                except InterruptError:
+                    info.errflag = int(Errflag.INTERRUPT_TIME)
+                    break
+                continue
+            if ret != 0:
+                info.errflag = int(ret)
+            break
+        self._sync()
+
+    def _sync(self) -> None:
+        b = self.basis
+        ic, dc = self.ic, self.dc
+        b.num_ftran += int(ic[2])
+        b.num_ftran_sparse += int(ic[3])
+        b.num_btran += int(ic[4])
+        b.num_btran_sparse += int(ic[5])
+        b.num_updates += int(ic[6])
+        b.num_factorizations += int(ic[7])
+        b.time_ftran += float(dc[0])
+        b.time_btran += float(dc[1])
+        b.time_update += float(dc[2])
+        b.time_factorize += float(dc[3])
+        b.factorization_is_fresh = bool(self.fresh[0])
+        b.lu._pivottol = float(b.lu.lib.ipxlu_get_pivottol(b.lu.handle))
+
+
 class Crossover:
     def __init__(self, control: Control):
         self.control = control
@@ -117,6 +221,28 @@ class Crossover:
             ubbasic[fb] = xbasic[fb]
 
         self.control.reset_print_interval()
+        ctx = _xover_native_ctx(basis)
+        if ctx is not None:
+            lib, handle = ctx
+            drv = _PushDriver(self.control, basis)
+            vars64 = np.ascontiguousarray(variables, dtype=np.int64)
+            nvars = int(vars64.size)
+            x_ = np.ascontiguousarray(x)
+            lb_ = np.ascontiguousarray(lb, dtype=np.float64)
+            ub_ = np.ascontiguousarray(ub, dtype=np.float64)
+            drv.run(lambda pause: lib.ipxlu_xover_primal(
+                handle, basis.basis, basis.map2basis, x_, xbasic, lbbasic,
+                ubbasic, lb_, ub_, vars64, nvars, drv.next_i, feastol,
+                pause, drv.fresh, drv.ic, drv.dc, drv.fills,
+                drv.FILLS_CAP, drv.nfills), nvars, "primal", info)
+            if x_ is not x:
+                x[:] = x_
+            x[basis.basis] = xbasic
+            self.primal_pushes = int(drv.ic[0])
+            self.primal_pivots = int(drv.ic[1])
+            self._set_status(info)
+            self.time_primal = perf_counter() - t0
+            return
         next_i = 0
         nvars = len(variables)
         while next_i < nvars:
@@ -231,6 +357,29 @@ class Crossover:
             raise RuntimeError("sign condition violated in push_dual")
 
         self.control.reset_print_interval()
+        ctx = _xover_native_ctx(basis)
+        if ctx is not None:
+            lib, handle = ctx
+            drv = _PushDriver(self.control, basis)
+            vars64 = np.ascontiguousarray(variables, dtype=np.int64)
+            sr64 = np.ascontiguousarray(sign_restrict, dtype=np.int64)
+            nvars = int(vars64.size)
+            y_ = np.ascontiguousarray(y)
+            z_ = np.ascontiguousarray(z)
+            drv.run(lambda pause: lib.ipxlu_xover_dual(
+                handle, basis.basis, basis.map2basis, y_, z_, sr64,
+                vars64, nvars, drv.next_i, feastol, pause, drv.fresh,
+                drv.ic, drv.dc, drv.fills, drv.FILLS_CAP, drv.nfills),
+                nvars, "dual", info)
+            if y_ is not y:
+                y[:] = y_
+            if z_ is not z:
+                z[:] = z_
+            self.dual_pushes = int(drv.ic[0])
+            self.dual_pivots = int(drv.ic[1])
+            self._set_status(info)
+            self.time_dual = perf_counter() - t0
+            return
         next_i = 0
         nvars = len(variables)
         while next_i < nvars:

@@ -105,6 +105,25 @@ struct IpxLu {
     std::vector<double> f_colmax;      // cached per-column max |value|
     std::vector<char> f_cmvalid;
 
+    // bound model (raw pointers owned by the Python side; arrays are kept
+    // alive by the caller for the lifetime of the binding) + concatenated
+    // basis-column storage [A | I] for native refactorization
+    ipxint mb_n = -1;
+    const ipxint *mb_Ap = nullptr, *mb_Ai = nullptr;
+    const double* mb_Ax = nullptr;
+    const ipxint *mb_ARp = nullptr, *mb_ARi = nullptr;
+    const double* mb_ARx = nullptr;
+    std::vector<ipxint> mb_Bi;     // A row indices + slack unit block
+    std::vector<double> mb_Bx;
+    std::vector<ipxint> mb_begin, mb_end;
+
+    // crossover / push-loop workspaces
+    std::vector<double> xw_row;        // n+m accumulator
+    std::vector<ipxint> xw_rowpat, xw_rowstamp;
+    ipxint xw_rowstampval = 0;
+    std::vector<double> xw_bt, xw_ft;
+    std::vector<ipxint> xw_btpat, xw_ftpat;
+
     // splitted-normal operator state for the phase-2 CR loop
     // (counterpart of reference: src/splitted_normal_matrix.{h,cc}):
     // N is the nonbasic partition of AI, rows in position space, columns
@@ -871,6 +890,53 @@ static double now_monotonic_s() {
         std::chrono::steady_clock::now().time_since_epoch()).count();
 }
 
+// Applies the pending exchange as a PFI eta (body of ipxlu_update; also
+// called by the native push loops). Returns -1 singular, 1 unstable, 0 ok,
+// -2 staging missing.
+static ipxint update_impl(IpxLu& lu, double pivot) {
+    const ipxint m = lu.m;
+    if (!lu.have_ftran || lu.btran_pos < 0)
+        return -2;
+    ipxint p = lu.btran_pos;
+    double wp = lu.ftran_sol[p];
+    if (wp == 0.0 || !std::isfinite(1.0 / wp))
+        return -1;
+    // stability: compare spike pivot with independently computed pivot
+    double err = std::fabs(wp - pivot) /
+        std::max(std::fabs(pivot), std::fabs(wp));
+    Eta e;
+    e.pos = p;
+    e.diag = wp;
+    if (lu.ftran_pat_valid) {
+        for (ipxint j : lu.ftran_pat)
+            if (j != p && lu.ftran_sol[j] != 0.0) {
+                e.idx.push_back(j);
+                e.val.push_back(lu.ftran_sol[j]);
+            }
+    } else {
+        for (ipxint j = 0; j < m; j++)
+            if (j != p && lu.ftran_sol[j] != 0.0) {
+                e.idx.push_back(j);
+                e.val.push_back(lu.ftran_sol[j]);
+            }
+    }
+    lu.eta_nnz += (ipxint)e.idx.size() + 1;
+    lu.etas.push_back(std::move(e));
+    lu.have_ftran = false;
+    lu.btran_pos = -1;
+    if (err > 1e-8)          // kFtDiagErrorTol
+        return 1;
+    return 0;
+}
+
+static ipxint need_fresh_impl(IpxLu& lu) {
+    if ((ipxint)lu.etas.size() >= lu.m)
+        return 1;
+    if (lu.eta_nnz > lu.factor_nnz)
+        return 1;
+    return 0;
+}
+
 // One application of the basis-preconditioned normal matrix
 //   C = I + inv(B~) N~ N~' inv(B~')
 // in factorization position space, with BASIC_FREE positions zeroed
@@ -915,6 +981,287 @@ static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
     for (ipxint i = 0; i < m; i++) dot += rhs[i] * lhs[i];
     lu.t_B += now_monotonic_s() - t0;
     return dot;
+}
+
+// ---------------------------------------------------------------------
+// Native push loops (crossover): sequential per-push driver with FTRAN /
+// tableau-row, two-pass ratio tests, exchanges with refactorize-on-
+// instability, all without Python crossings (counterpart of reference:
+// src/crossover.cc push loops + src/basis.cc:116-156,286-322).
+// ---------------------------------------------------------------------
+
+const double kXoverPivotZeroTol = 1e-5;   // reference: src/crossover.h:137
+
+struct XoverCounts {
+    ipxint pushes = 0, pivots = 0;
+    ipxint nftran = 0, nftran_sparse = 0, nbtran = 0, nbtran_sparse = 0;
+    ipxint nupdates = 0, nfactor = 0;
+    double t_ftran = 0, t_btran = 0, t_update = 0, t_factorize = 0;
+    double* fills;
+    ipxint fills_cap;
+    ipxint nfills = 0;
+
+    void flush(ipxint* ic, double* dc, ipxint* nfills_out) const {
+        ic[0] += pushes; ic[1] += pivots;
+        ic[2] += nftran; ic[3] += nftran_sparse;
+        ic[4] += nbtran; ic[5] += nbtran_sparse;
+        ic[6] += nupdates; ic[7] += nfactor;
+        dc[0] += t_ftran; dc[1] += t_btran;
+        dc[2] += t_update; dc[3] += t_factorize;
+        *nfills_out = nfills;
+    }
+};
+
+// deterministic +/-1 rhs (xorshift) for the stability estimate
+static void pm1_rhs(std::vector<double>& b) {
+    uint64_t s = 0x9E3779B97F4A7C15ull;
+    for (size_t i = 0; i < b.size(); i++) {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+        b[i] = (s & 1) ? 1.0 : -1.0;
+    }
+}
+
+// rebuild the basis-column ranges into mb_begin/mb_end for the bound model
+static void build_basis_cols(IpxLu& lu, const ipxint* basis) {
+    const ipxint m = lu.m, n = lu.mb_n;
+    const ipxint nnzA = lu.mb_Ap[n];
+    lu.mb_begin.resize(m);
+    lu.mb_end.resize(m);
+    for (ipxint p = 0; p < m; p++) {
+        ipxint j = basis[p];
+        if (j < n) {
+            lu.mb_begin[p] = lu.mb_Ap[j];
+            lu.mb_end[p] = lu.mb_Ap[j + 1];
+        } else {
+            lu.mb_begin[p] = nnzA + (j - n);
+            lu.mb_end[p] = lu.mb_begin[p] + 1;
+        }
+    }
+}
+
+// Stability estimate of the fresh factors: scaled 1-norm residual of a
+// +/-1-rhs solve vs kLuStabilityThreshold=1e-12 (method of Duff/Erisman/
+// Reid; counterpart of reference: src/lu_factorization.cc:71-127).
+// Requires mb_begin/mb_end current.
+static bool factors_stable(IpxLu& lu) {
+    const ipxint m = lu.m;
+    if (m == 0) return true;
+    std::vector<double> b(m), x(m);
+    pm1_rhs(b);
+    ftran_dense(lu, b.data(), x.data());
+    std::vector<double> r(b);
+    double normB = 0.0;
+    for (ipxint j = 0; j < m; j++) {
+        double cn = 0.0;
+        double xj = x[j];
+        for (ipxint p = lu.mb_begin[j]; p < lu.mb_end[j]; p++) {
+            r[lu.mb_Bi[p]] -= lu.mb_Bx[p] * xj;
+            cn += std::fabs(lu.mb_Bx[p]);
+        }
+        normB = std::max(normB, cn);
+    }
+    double sb = 0.0, sx = 0.0, sr = 0.0;
+    for (ipxint i = 0; i < m; i++) {
+        sb += std::fabs(b[i]);
+        sx += std::fabs(x[i]);
+        sr += std::fabs(r[i]);
+    }
+    double denom = sb + normB * sx;
+    if (denom == 0.0) return true;
+    return sr / denom <= 1e-12;     // kLuStabilityThreshold
+}
+
+// pivot tolerance ladder (reference: src/basis.cc:490-503)
+static bool tighten_pivottol(IpxLu& lu) {
+    if (lu.pivottol <= 0.05) lu.pivottol = 0.1;
+    else if (lu.pivottol <= 0.25) lu.pivottol = 0.3;
+    else if (lu.pivottol <= 0.5) lu.pivottol = 0.9;
+    else return false;
+    return true;
+}
+
+// Refactorize the current basis with the stability ladder (counterpart of
+// reference: src/basis.cc:116-156). Returns 0 ok or 301 (BASIS_SINGULAR).
+static ipxint xover_refactorize(IpxLu& lu, const ipxint* basis,
+                                XoverCounts& c) {
+    double t0 = now_monotonic_s();
+    build_basis_cols(lu, basis);
+    ipxint err = 0;
+    while (true) {
+        int flag = factorize(lu, lu.mb_begin.data(), lu.mb_end.data(),
+                             lu.mb_Bi.data(), lu.mb_Bx.data(), 0);
+        c.nfactor++;
+        if (c.nfills < c.fills_cap)
+            c.fills[c.nfills++] = (double)lu.factor_nnz / (double)lu.bnnz;
+        if (flag & 2) { err = 301; break; }
+        if (!factors_stable(lu) && tighten_pivottol(lu))
+            continue;
+        break;
+    }
+    c.t_factorize += now_monotonic_s() - t0;
+    return err;
+}
+
+// FTRAN of AI column jn with the spike recorded for a subsequent update
+// (counterpart of NativeLu.ftran_for_update). Result dense in lu.xw_ft with
+// pattern lu.xw_ftpat; returns nz or -1 dense.
+static ipxint ftran_col_for_update(IpxLu& lu, ipxint jn, XoverCounts& c,
+                                   bool count) {
+    const ipxint m = lu.m, n = lu.mb_n;
+    double t0 = now_monotonic_s();
+    ipxint bi1;
+    const ipxint* bi;
+    const double* bx;
+    double one = 1.0;
+    ipxint nb;
+    if (jn < n) {
+        bi = lu.mb_Ai + lu.mb_Ap[jn];
+        bx = lu.mb_Ax + lu.mb_Ap[jn];
+        nb = lu.mb_Ap[jn + 1] - lu.mb_Ap[jn];
+    } else {
+        bi1 = jn - n;
+        bi = &bi1;
+        bx = &one;
+        nb = 1;
+    }
+    ipxint nz = ftran_sparse(lu, nb, bi, bx, lu.xw_ft.data(),
+                             lu.xw_ftpat.data());
+    std::memcpy(lu.ftran_sol.data(), lu.xw_ft.data(), m * sizeof(double));
+    if (nz >= 0) {
+        lu.ftran_pat.assign(lu.xw_ftpat.data(), lu.xw_ftpat.data() + nz);
+        lu.ftran_pat_valid = true;
+    } else {
+        lu.ftran_pat_valid = false;
+    }
+    lu.have_ftran = true;
+    if (count) {
+        c.nftran++;
+        if (nz >= 0 && nz <= m / 10) c.nftran_sparse++;
+    }
+    c.t_ftran += now_monotonic_s() - t0;
+    return nz;
+}
+
+// ExchangeIfStable (counterpart of reference: src/basis.cc:286-322).
+// sys > 0: entering column jn needs FTRAN staging; sys < 0: leaving
+// position needs BTRAN staging. Returns 0 exchanged, 1 not exchanged (old
+// basis refactorized, retry the push), 301/306 fatal.
+static ipxint xover_exchange(IpxLu& lu, ipxint* basis, ipxint* map2basis,
+                             ipxint jb, ipxint jn, double pivot, int sys,
+                             ipxint* fresh, XoverCounts& c) {
+    const ipxint m = lu.m;
+    if (sys > 0)
+        ftran_col_for_update(lu, jn, c, false);
+    if (sys < 0) {
+        ipxint mp = map2basis[jb];
+        lu.btran_pos = mp >= m ? mp - m : mp;
+    }
+    double t0 = now_monotonic_s();
+    ipxint err = update_impl(lu, pivot);
+    c.t_update += now_monotonic_s() - t0;
+    if (err != 0) {
+        if (*fresh && !tighten_pivottol(lu))
+            return 306;                 // BASIS_TOO_ILL_CONDITIONED
+        ipxint ferr = xover_refactorize(lu, basis, c);
+        if (ferr) return ferr;
+        *fresh = 1;
+        return 1;
+    }
+    ipxint mp = map2basis[jb];
+    ipxint ib = mp >= m ? mp - m : mp;
+    basis[ib] = jn;
+    map2basis[jn] = ib;
+    map2basis[jb] = -1;
+    c.nupdates++;
+    *fresh = 0;
+    if (need_fresh_impl(lu)) {
+        ipxint ferr = xover_refactorize(lu, basis, c);
+        if (ferr) return ferr;
+        *fresh = 1;
+    }
+    return 0;
+}
+
+// Tableau row of the basic variable at position pos: BTRAN of e_pos, then
+// sparse-vector*CSR or dense*CSC chosen by a fill estimate (counterpart of
+// reference: src/basis.cc:216-284). Stages the BTRAN for a later update.
+// Keeps only nonbasic columns (map2basis -1, and -2 unless ignore_fixed).
+// Returns nz (pattern in rowpat, values dense in row) or -1 dense.
+static ipxint tableau_row_native(IpxLu& lu, const ipxint* map2basis,
+                                 ipxint pos, int ignore_fixed, double* bt,
+                                 ipxint* btpat, ipxint* bt_nz_out,
+                                 double* row, ipxint* rowpat,
+                                 XoverCounts& c) {
+    const ipxint m = lu.m, n = lu.mb_n;
+    double t0 = now_monotonic_s();
+    ipxint bnz = btran_sparse_unit(lu, pos, bt, btpat);
+    lu.btran_pos = pos;
+    c.nbtran++;
+    if (bnz >= 0 && bnz <= m / 10) c.nbtran_sparse++;
+    c.t_btran += now_monotonic_s() - t0;
+    *bt_nz_out = bnz;
+
+    bool use_sparse = bnz >= 0;
+    if (use_sparse) {
+        ipxint est = bnz;
+        for (ipxint t = 0; t < bnz; t++) {
+            ipxint i = btpat[t];
+            est += lu.mb_ARp[i + 1] - lu.mb_ARp[i];
+        }
+        if (est / 2 > (n + m) / 10) use_sparse = false;
+    }
+    auto keep = [&](ipxint j) {
+        ipxint mp = map2basis[j];
+        return mp == -1 || (mp == -2 && !ignore_fixed);
+    };
+    if (use_sparse) {
+        const ipxint sv = ++lu.xw_rowstampval;
+        ipxint nz = 0;
+        for (ipxint t = 0; t < bnz; t++) {
+            ipxint i = btpat[t];
+            double v = bt[i];
+            if (v == 0.0) continue;
+            for (ipxint p = lu.mb_ARp[i]; p < lu.mb_ARp[i + 1]; p++) {
+                ipxint j = lu.mb_ARi[p];
+                if (lu.xw_rowstamp[j] != sv) {
+                    lu.xw_rowstamp[j] = sv;
+                    row[j] = 0.0;
+                    rowpat[nz++] = j;
+                }
+                row[j] += v * lu.mb_ARx[p];
+            }
+        }
+        // filter structural entries by status, drop exact zeros
+        ipxint keepnz = 0;
+        for (ipxint t = 0; t < nz; t++) {
+            ipxint j = rowpat[t];
+            if (row[j] != 0.0 && keep(j))
+                rowpat[keepnz++] = j;
+        }
+        nz = keepnz;
+        // slack entries: row[n+i] = btran[i]
+        for (ipxint t = 0; t < bnz; t++) {
+            ipxint i = btpat[t];
+            ipxint j = n + i;
+            if (bt[i] != 0.0 && keep(j)) {
+                row[j] = bt[i];
+                rowpat[nz++] = j;
+            }
+        }
+        return nz;
+    }
+    // dense: dot each kept CSC column; slack entries from btran
+    for (ipxint j = 0; j < n; j++) {
+        double d = 0.0;
+        if (keep(j)) {
+            for (ipxint p = lu.mb_Ap[j]; p < lu.mb_Ap[j + 1]; p++)
+                d += lu.mb_Ax[p] * bt[lu.mb_Ai[p]];
+        }
+        row[j] = d;
+    }
+    for (ipxint i = 0; i < m; i++)
+        row[n + i] = keep(n + i) ? bt[i] : 0.0;
+    return -1;
 }
 
 }  // namespace
@@ -1041,40 +1388,7 @@ ipxint ipxlu_btran_for_update(void* h, ipxint pos, double* lhs, ipxint* pat) {
 // Applies the pending exchange as a PFI eta. Returns
 //  -1 singular (new pivot ~ 0), 1 unstable (pivot mismatch), 0 ok.
 ipxint ipxlu_update(void* h, double pivot) {
-    IpxLu& lu = *static_cast<IpxLu*>(h);
-    const ipxint m = lu.m;
-    if (!lu.have_ftran || lu.btran_pos < 0)
-        return -2;
-    ipxint p = lu.btran_pos;
-    double wp = lu.ftran_sol[p];
-    if (wp == 0.0 || !std::isfinite(1.0 / wp))
-        return -1;
-    // stability: compare spike pivot with independently computed pivot
-    double err = std::fabs(wp - pivot) /
-        std::max(std::fabs(pivot), std::fabs(wp));
-    Eta e;
-    e.pos = p;
-    e.diag = wp;
-    if (lu.ftran_pat_valid) {
-        for (ipxint j : lu.ftran_pat)
-            if (j != p && lu.ftran_sol[j] != 0.0) {
-                e.idx.push_back(j);
-                e.val.push_back(lu.ftran_sol[j]);
-            }
-    } else {
-        for (ipxint j = 0; j < m; j++)
-            if (j != p && lu.ftran_sol[j] != 0.0) {
-                e.idx.push_back(j);
-                e.val.push_back(lu.ftran_sol[j]);
-            }
-    }
-    lu.eta_nnz += (ipxint)e.idx.size() + 1;
-    lu.etas.push_back(std::move(e));
-    lu.have_ftran = false;
-    lu.btran_pos = -1;
-    if (err > 1e-8)          // kFtDiagErrorTol
-        return 1;
-    return 0;
+    return update_impl(*static_cast<IpxLu*>(h), pivot);
 }
 
 // In-place dense triangular solves in position space with the FRESH factors
@@ -1100,12 +1414,7 @@ void ipxlu_get_phase_times(void* h, double* out3) {
 }
 
 ipxint ipxlu_need_fresh(void* h) {
-    IpxLu& lu = *static_cast<IpxLu*>(h);
-    if ((ipxint)lu.etas.size() >= lu.m)
-        return 1;
-    if (lu.eta_nnz > lu.factor_nnz)
-        return 1;
-    return 0;
+    return need_fresh_impl(*static_cast<IpxLu*>(h));
 }
 
 ipxint ipxlu_num_updates(void* h) {
@@ -1411,6 +1720,297 @@ ipxint ipxlu_matching(ipxint nrows, ipxint ncols, const ipxint* Ap,
             break;
     }
     return num_matched;
+}
+
+// ---------------------------------------------------------------------
+// Model binding + native crossover push loops
+// ---------------------------------------------------------------------
+
+// Binds the model's structural matrix A (CSC + CSR) to the handle. The
+// arrays are NOT copied (except the basis-column concatenation [A | I] used
+// for refactorization); the caller keeps them alive while bound.
+void ipxlu_model_bind(void* h, ipxint n, const ipxint* Ap, const ipxint* Ai,
+                      const double* Ax, const ipxint* ARp, const ipxint* ARi,
+                      const double* ARx) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    lu.mb_n = n;
+    lu.mb_Ap = Ap; lu.mb_Ai = Ai; lu.mb_Ax = Ax;
+    lu.mb_ARp = ARp; lu.mb_ARi = ARi; lu.mb_ARx = ARx;
+    const ipxint nnzA = Ap[n];
+    lu.mb_Bi.resize(nnzA + m);
+    lu.mb_Bx.resize(nnzA + m);
+    std::copy(Ai, Ai + nnzA, lu.mb_Bi.begin());
+    std::copy(Ax, Ax + nnzA, lu.mb_Bx.begin());
+    for (ipxint i = 0; i < m; i++) {
+        lu.mb_Bi[nnzA + i] = i;
+        lu.mb_Bx[nnzA + i] = 1.0;
+    }
+    lu.xw_row.assign(n + m, 0.0);
+    lu.xw_rowpat.assign(n + m, 0);
+    lu.xw_rowstamp.assign(n + m, -1);
+    lu.xw_rowstampval = 0;
+    lu.xw_bt.assign(m, 0.0);
+    lu.xw_ft.assign(m, 0.0);
+    lu.xw_btpat.assign(m, 0);
+    lu.xw_ftpat.assign(m, 0);
+}
+
+// Dual push loop (counterpart of reference: src/crossover.cc:229-340).
+// Processes variables[*next_i..nvars) until done or pause_abs_s passes.
+// basis/map2basis/y/z mutated in place; *fresh tracks whether the current
+// factorization is fresh. Returns 0 done, 3 paused (call again), 301/306
+// fatal errflag. Counters are ACCUMULATED into icounts[8] = {pushes, pivots,
+// nftran, nftran_sparse, nbtran, nbtran_sparse, nupdates, nfactor} and
+// dcounts[4] = {t_ftran, t_btran, t_update, t_factorize}; fill factors of
+// refactorizations go to fills[0..*nfills).
+ipxint ipxlu_xover_dual(void* h, ipxint* basis, ipxint* map2basis,
+                        double* y, double* z, const ipxint* sign_restrict,
+                        const ipxint* variables, ipxint nvars,
+                        ipxint* next_i, double feastol, double pause_abs_s,
+                        ipxint* fresh, ipxint* icounts, double* dcounts,
+                        double* fills, ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m, n = lu.mb_n;
+    XoverCounts c;
+    c.fills = fills;
+    c.fills_cap = fills_cap;
+    double* bt = lu.xw_bt.data();
+    ipxint* btpat = lu.xw_btpat.data();
+    double* row = lu.xw_row.data();
+    ipxint* rowpat = lu.xw_rowpat.data();
+    ipxint ret = 0;
+
+    while (*next_i < nvars) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        ipxint jb = variables[*next_i];
+        if (z[jb] == 0.0) { (*next_i)++; continue; }
+
+        ipxint mp = map2basis[jb];
+        ipxint pos = mp >= m ? mp - m : mp;
+        ipxint bnz;
+        ipxint rnz = tableau_row_native(lu, map2basis, pos, 0, bt, btpat,
+                                        &bnz, row, rowpat, c);
+
+        // two-pass ratio test (reference: src/crossover.cc:418-465)
+        double step = z[jb];
+        ipxint jblock = -1;
+        const ipxint total = n + m;
+        auto pass1 = [&](ipxint j, double piv) {
+            if (std::fabs(piv) <= kXoverPivotZeroTol) return;
+            ipxint sr = sign_restrict[j];
+            double znew = z[j] - step * piv;
+            if ((sr & 1) && znew < -feastol) {
+                step = (z[j] + feastol) / piv;
+                jblock = j;
+            } else if ((sr & 2) && znew > feastol) {
+                step = (z[j] - feastol) / piv;
+                jblock = j;
+            }
+        };
+        if (rnz >= 0)
+            for (ipxint t = 0; t < rnz; t++) pass1(rowpat[t], row[rowpat[t]]);
+        else
+            for (ipxint j = 0; j < total; j++)
+                if (row[j] != 0.0) pass1(j, row[j]);
+
+        ipxint jn = -1;
+        if (jblock >= 0) {
+            double bestpiv = 0.0;
+            auto pass2 = [&](ipxint j, double piv) {
+                double apiv = std::fabs(piv);
+                if (apiv <= kXoverPivotZeroTol) return;
+                ipxint sr = sign_restrict[j];
+                double sp = step * piv;
+                if (!(((sr & 1) && sp > 0.0) || ((sr & 2) && sp < 0.0)))
+                    return;
+                if (std::fabs(z[j] / piv) > std::fabs(step)) return;
+                if (apiv > bestpiv) { bestpiv = apiv; jn = j; }
+            };
+            if (rnz >= 0)
+                for (ipxint t = 0; t < rnz; t++)
+                    pass2(rowpat[t], row[rowpat[t]]);
+            else
+                for (ipxint j = 0; j < total; j++)
+                    if (row[j] != 0.0) pass2(j, row[j]);
+            if (jn < 0) jn = jblock;
+        }
+
+        if (jn >= 0) {
+            double pivot = row[jn];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         pivot, +1, fresh, c);
+            if (xret == 1) continue;       // retry push with fresh factors
+            if (xret > 1) { ret = xret; break; }
+            c.pivots++;
+            step = z[jn] / pivot;
+        }
+        if (step != 0.0) {
+            if (bnz >= 0)
+                for (ipxint t = 0; t < bnz; t++)
+                    y[btpat[t]] += step * bt[btpat[t]];
+            else
+                for (ipxint i = 0; i < m; i++) y[i] += step * bt[i];
+            auto zupd = [&](ipxint j, double piv) {
+                double v = z[j] - step * piv;
+                ipxint sr = sign_restrict[j];
+                if ((sr & 1) && v < 0.0) v = 0.0;
+                if ((sr & 2) && v > 0.0) v = 0.0;
+                z[j] = v;
+            };
+            if (rnz >= 0)
+                for (ipxint t = 0; t < rnz; t++)
+                    zupd(rowpat[t], row[rowpat[t]]);
+            else
+                for (ipxint j = 0; j < total; j++)
+                    if (row[j] != 0.0) zupd(j, row[j]);
+            z[jb] -= step;
+        }
+        if (jn >= 0)
+            z[jn] = 0.0;
+        c.pushes++;
+        (*next_i)++;
+    }
+    c.flush(icounts, dcounts, nfills);
+    return ret;
+}
+
+// Primal push loop (counterpart of reference: src/crossover.cc:73-221).
+// xbasic/lbbasic/ubbasic are the caller-prepared by-position arrays (the
+// caller writes x[basis] = xbasic back after the loop completes).
+ipxint ipxlu_xover_primal(void* h, ipxint* basis, ipxint* map2basis,
+                          double* x, double* xbasic, double* lbbasic,
+                          double* ubbasic, const double* lb,
+                          const double* ub, const ipxint* variables,
+                          ipxint nvars, ipxint* next_i, double feastol,
+                          double pause_abs_s, ipxint* fresh,
+                          ipxint* icounts, double* dcounts, double* fills,
+                          ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    XoverCounts c;
+    c.fills = fills;
+    c.fills_cap = fills_cap;
+    double* ft = lu.xw_ft.data();
+    ipxint* ftpat = lu.xw_ftpat.data();
+    ipxint ret = 0;
+
+    while (*next_i < nvars) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        ipxint jn = variables[*next_i];
+        if (x[jn] == lb[jn] || x[jn] == ub[jn]
+            || (x[jn] == 0.0 && std::isinf(lb[jn]) && std::isinf(ub[jn]))) {
+            (*next_i)++;
+            continue;
+        }
+        double move_to = 0.0;
+        if (std::isfinite(lb[jn]) && std::isfinite(ub[jn]))
+            move_to = (x[jn] - lb[jn] <= ub[jn] - x[jn]) ? lb[jn] : ub[jn];
+        else if (std::isfinite(lb[jn]))
+            move_to = lb[jn];
+        else if (std::isfinite(ub[jn]))
+            move_to = ub[jn];
+        double step = x[jn] - move_to;
+
+        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+
+        // two-pass ratio test (reference: src/crossover.cc:359-416)
+        ipxint pblock = -1;
+        bool at_lb = true;
+        auto pass1 = [&](ipxint k, double piv) {
+            if (std::fabs(piv) <= kXoverPivotZeroTol) return;
+            double xnew = xbasic[k] + step * piv;
+            if (xnew < lbbasic[k] - feastol) {
+                step = (lbbasic[k] - xbasic[k] - feastol) / piv;
+                pblock = k;
+                at_lb = true;
+            } else if (xnew > ubbasic[k] + feastol) {
+                step = (ubbasic[k] - xbasic[k] + feastol) / piv;
+                pblock = k;
+                at_lb = false;
+            }
+        };
+        if (fnz >= 0)
+            for (ipxint t = 0; t < fnz; t++) pass1(ftpat[t], ft[ftpat[t]]);
+        else
+            for (ipxint k = 0; k < m; k++)
+                if (ft[k] != 0.0) pass1(k, ft[k]);
+
+        if (pblock >= 0) {
+            double bestpiv = 0.0;
+            ipxint best = -1;
+            bool bestlb = true;
+            auto pass2 = [&](ipxint k, double piv) {
+                double apiv = std::fabs(piv);
+                if (apiv <= kXoverPivotZeroTol) return;
+                double sp = step * piv;
+                bool cand_lb, ok;
+                if (sp < 0.0) {
+                    ok = std::fabs((lbbasic[k] - xbasic[k]) / piv)
+                        <= std::fabs(step);
+                    cand_lb = true;
+                } else if (sp > 0.0) {
+                    ok = std::fabs((ubbasic[k] - xbasic[k]) / piv)
+                        <= std::fabs(step);
+                    cand_lb = false;
+                } else {
+                    return;
+                }
+                if (ok && apiv > bestpiv) {
+                    bestpiv = apiv;
+                    best = k;
+                    bestlb = cand_lb;
+                }
+            };
+            if (fnz >= 0)
+                for (ipxint t = 0; t < fnz; t++)
+                    pass2(ftpat[t], ft[ftpat[t]]);
+            else
+                for (ipxint k = 0; k < m; k++)
+                    if (ft[k] != 0.0) pass2(k, ft[k]);
+            if (best >= 0) { pblock = best; at_lb = bestlb; }
+        }
+
+        ipxint jb = -1;
+        if (pblock >= 0) {
+            jb = basis[pblock];
+            double pivot = ft[pblock];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         pivot, -1, fresh, c);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            c.pivots++;
+            step = at_lb ? (lbbasic[pblock] - xbasic[pblock]) / pivot
+                         : (ubbasic[pblock] - xbasic[pblock]) / pivot;
+        }
+        if (step != 0.0) {
+            auto xupd = [&](ipxint k, double piv) {
+                double xb = xbasic[k] + step * piv;
+                if (xb < lbbasic[k]) xb = lbbasic[k];
+                if (xb > ubbasic[k]) xb = ubbasic[k];
+                xbasic[k] = xb;
+            };
+            if (fnz >= 0)
+                for (ipxint t = 0; t < fnz; t++)
+                    xupd(ftpat[t], ft[ftpat[t]]);
+            else
+                for (ipxint k = 0; k < m; k++)
+                    if (ft[k] != 0.0) xupd(k, ft[k]);
+            x[jn] -= step;
+        }
+        if (pblock >= 0) {
+            x[jb] = at_lb ? lbbasic[pblock] : ubbasic[pblock];
+            xbasic[pblock] = x[jn];
+            lbbasic[pblock] = lb[jn];
+            ubbasic[pblock] = ub[jn];
+        } else {
+            x[jn] = move_to;
+        }
+        c.pushes++;
+        (*next_i)++;
+    }
+    c.flush(icounts, dcounts, nfills);
+    return ret;
 }
 
 // ---------------------------------------------------------------------
