@@ -32,6 +32,31 @@ PIVOT_ZERO_TOL = 1e-7      # reference: src/kkt_solver_basis.h:33
 INF = np.inf
 
 
+def _drop_native_ctx(basis: Basis):
+    """Binds the model + registers the native drop-loop drivers.
+    Returns (lib, handle) or None."""
+    from ..basis.crossover import _xover_native_ctx
+    ctx = _xover_native_ctx(basis)
+    if ctx is None:
+        return None
+    lib, handle = ctx
+    if not hasattr(lib, "_drop_ready"):
+        import ctypes as ct
+        I = ct.c_int64
+        D = ct.c_double
+        P_ = ct.c_void_p
+        IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        tail = [IA, I, IA, D, D, IA, IA, IA, IA, DA, DA, I, IA]
+        lib.ipxlu_drop_primal.restype = I
+        lib.ipxlu_drop_primal.argtypes = \
+            [P_, IA, IA, DA, DA, DA, DA, DA] + tail
+        lib.ipxlu_drop_dual.restype = I
+        lib.ipxlu_drop_dual.argtypes = [P_, IA, IA, DA] + tail
+        lib._drop_ready = True
+    return lib, handle
+
+
 class KKTSolverBasis(KKTSolver):
     def __init__(self, control: Control, basis: Basis):
         self.control = control
@@ -198,6 +223,56 @@ class KKTSolverBasis(KKTSolver):
         return self.basis
 
     # ------------------------------------------------------------------
+    def _run_drop_native(self, lib, basis, iterate, info, cand64, call):
+        """Chunked driver for the native drop loops; returns (dropped list,
+        exchange count) and syncs basis statistics."""
+        import time as _t
+        from ..status import InterruptError
+        ncand = int(cand64.size)
+        st = {
+            "next_i": np.zeros(1, dtype=np.int64),
+            "fresh": np.array(
+                [1 if basis.factorization_is_fresh else 0], dtype=np.int64),
+            "dropped": np.zeros(max(ncand, 1), dtype=np.int64),
+            "ndropped": np.zeros(1, dtype=np.int64),
+            "ic": np.zeros(8, dtype=np.int64),
+            "dc": np.zeros(4, dtype=np.float64),
+            "fills": np.zeros(256, dtype=np.float64),
+            "cap": 256,
+            "nfills": np.zeros(1, dtype=np.int64),
+        }
+        while True:
+            ret = int(call(_t.monotonic() + 1.0, st))
+            basis.fill_factors.extend(
+                st["fills"][:int(st["nfills"][0])].tolist())
+            if ret == 3:
+                try:
+                    self.control.interrupt_check()
+                except InterruptError:
+                    info.errflag = 999
+                    break
+                continue
+            if ret != 0:
+                info.errflag = int(ret)
+            break
+        ic, dc = st["ic"], st["dc"]
+        basis.num_ftran += int(ic[2])
+        basis.num_ftran_sparse += int(ic[3])
+        basis.num_btran += int(ic[4])
+        basis.num_btran_sparse += int(ic[5])
+        basis.num_updates += int(ic[6])
+        basis.num_factorizations += int(ic[7])
+        basis.time_ftran += float(dc[0])
+        basis.time_btran += float(dc[1])
+        basis.time_update += float(dc[2])
+        basis.time_factorize += float(dc[3])
+        basis.factorization_is_fresh = bool(st["fresh"][0])
+        basis.lu._pivottol = float(
+            basis.lu.lib.ipxlu_get_pivottol(basis.lu.handle))
+        dropped = st["dropped"][:int(st["ndropped"][0])].tolist()
+        return dropped, int(ic[1])
+
+    # ------------------------------------------------------------------
     def _drop_primal(self, iterate, info: Info) -> None:
         """Pivot near-bound basic variables out of the basis or mark them
         implied (reference: src/kkt_solver_basis.cc:196-293)."""
@@ -221,6 +296,34 @@ class KKTSolverBasis(KKTSolver):
             cand_mask = is_basic & (xj < 0.01 * zj) & (xj <= drop_primal)
         candidates = [int(j) for j in bvars[cand_mask]]
         if not candidates:
+            return
+
+        ctx = _drop_native_ctx(basis)
+        if ctx is not None:
+            lib, handle = ctx
+            self.colscale = np.ascontiguousarray(self.colscale)
+            cand64 = np.ascontiguousarray(candidates, dtype=np.int64)
+            dropped, changes = self._run_drop_native(
+                lib, basis, iterate, info, cand64,
+                lambda pause, st: lib.ipxlu_drop_primal(
+                    handle, basis.basis, basis.map2basis, self.colscale,
+                    np.ascontiguousarray(iterate.xl),
+                    np.ascontiguousarray(iterate.xu),
+                    np.ascontiguousarray(iterate.zl),
+                    np.ascontiguousarray(iterate.zu),
+                    cand64, cand64.size, st["next_i"], 2.0, pause,
+                    st["fresh"], st["dropped"], st["ndropped"],
+                    st["ic"], st["dc"], st["fills"], st["cap"],
+                    st["nfills"]))
+            for code in dropped:
+                jb = int(code) // 2
+                if int(code) % 2:
+                    iterate.make_implied_lb(jb)
+                else:
+                    iterate.make_implied_ub(jb)
+            info.primal_dropped += len(dropped)
+            info.updates_ipm += changes
+            self.changes += changes
             return
 
         with np.errstate(divide="ignore"):
@@ -290,6 +393,26 @@ class KKTSolverBasis(KKTSolver):
             cand_mask = (zj < 0.01 * xj) & (zj <= drop_dual)
         candidates = [int(j) for j in nb[cand_mask]]
         if not candidates:
+            return
+
+        ctx = _drop_native_ctx(basis)
+        if ctx is not None:
+            lib, handle = ctx
+            self.colscale = np.ascontiguousarray(self.colscale)
+            cand64 = np.ascontiguousarray(candidates, dtype=np.int64)
+            dropped, changes = self._run_drop_native(
+                lib, basis, iterate, info, cand64,
+                lambda pause, st: lib.ipxlu_drop_dual(
+                    handle, basis.basis, basis.map2basis, self.colscale,
+                    cand64, cand64.size, st["next_i"], 2.0, pause,
+                    st["fresh"], st["dropped"], st["ndropped"],
+                    st["ic"], st["dc"], st["fills"], st["cap"],
+                    st["nfills"]))
+            for jn in dropped:
+                iterate.make_fixed(int(jn))
+            info.dual_dropped += len(dropped)
+            info.updates_ipm += changes
+            self.changes += changes
             return
 
         with np.errstate(divide="ignore"):

@@ -33,6 +33,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 typedef int64_t ipxint;
@@ -2007,6 +2008,153 @@ ipxint ipxlu_xover_primal(void* h, ipxint* basis, ipxint* map2basis,
             x[jn] = move_to;
         }
         c.pushes++;
+        (*next_i)++;
+    }
+    c.flush(icounts, dcounts, nfills);
+    return ret;
+}
+
+// ---------------------------------------------------------------------
+// Native drop loops of the basis-preconditioned KKT factorization
+// (counterpart of reference: src/kkt_solver_basis.cc:196-387): DropPrimal
+// pivots near-bound basic variables out (or marks them implied), DropDual
+// pivots near-zero-dual nonbasic variables in (or fixes them). The iterate
+// state-machine changes are applied by the Python caller from the returned
+// dropped list; colscale is mutated in place.
+// ---------------------------------------------------------------------
+
+// Processes candidates LIFO. dropped_out[k] = 2*jb + lb_side. Returns 0
+// done, 3 paused, 301/306 fatal. icounts[0] += exchanges, icounts[1] +=
+// drops; icounts[2..7] and dcounts as in the crossover driver.
+ipxint ipxlu_drop_primal(void* h, ipxint* basis, ipxint* map2basis,
+                         double* colscale, const double* xl, const double* xu,
+                         const double* zl, const double* zu,
+                         const ipxint* candidates, ipxint ncand,
+                         ipxint* next_i, double volume_tol,
+                         double pause_abs_s, ipxint* fresh,
+                         ipxint* dropped_out, ipxint* ndropped,
+                         ipxint* icounts, double* dcounts, double* fills,
+                         ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m, n = lu.mb_n;
+    const double pivot_zero_tol = 1e-7;   // reference: src/kkt_solver_basis.h
+    XoverCounts c;
+    c.fills = fills;
+    c.fills_cap = fills_cap;
+    double* bt = lu.xw_bt.data();
+    ipxint* btpat = lu.xw_btpat.data();
+    double* row = lu.xw_row.data();
+    ipxint* rowpat = lu.xw_rowpat.data();
+    // invscale by basis position: 1/colscale (0 where infinite/zero-div)
+    std::vector<double> invscale(m);
+    for (ipxint p = 0; p < m; p++) {
+        double v = 1.0 / colscale[basis[p]];
+        invscale[p] = std::isfinite(v) ? v : 0.0;
+    }
+    ipxint ret = 0;
+    while (*next_i < ncand) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        // LIFO like the reference (candidates.back(), pop on completion)
+        ipxint jb = candidates[ncand - 1 - *next_i];
+        ipxint mp = map2basis[jb];
+        ipxint pos = mp >= m ? mp - m : mp;
+        double s = invscale[pos];
+        ipxint bnz;
+        ipxint rnz = tableau_row_native(lu, map2basis, pos, 1, bt, btpat,
+                                        &bnz, row, rowpat, c);
+        ipxint jmax = -1;
+        double vmax = 0.0;
+        auto score = [&](ipxint j, double piv) {
+            double a = std::fabs(piv);
+            if (a <= pivot_zero_tol) return;
+            double v = a * colscale[j] * s;
+            if (v > vmax) { vmax = v; jmax = j; }
+        };
+        if (rnz >= 0)
+            for (ipxint t = 0; t < rnz; t++) score(rowpat[t], row[rowpat[t]]);
+        else
+            for (ipxint j = 0; j < n + m; j++)
+                if (row[j] != 0.0) score(j, row[j]);
+        if (jmax >= 0 && vmax > volume_tol) {
+            double pivot = row[jmax];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jmax,
+                                         pivot, +1, fresh, c);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            double iv = 1.0 / colscale[jmax];
+            invscale[pos] = std::isfinite(iv) ? iv : 0.0;
+            c.pivots++;
+        } else {
+            // make implied: side with larger z/x ratio (NaNs compare false)
+            bool lb_side = (zl[jb] / xl[jb]) > (zu[jb] / xu[jb]);
+            if (mp >= 0 && mp < m) map2basis[jb] = mp + m;  // BASIC_FREE
+            invscale[pos] = 0.0;
+            colscale[jb] = std::numeric_limits<double>::infinity();
+            dropped_out[(*ndropped)++] = 2 * jb + (lb_side ? 1 : 0);
+        }
+        (*next_i)++;
+    }
+    c.flush(icounts, dcounts, nfills);
+    icounts[0] += 0;            // pushes unused here
+    icounts[1] += 0;            // pivots flushed via c.pivots above
+    return ret;
+}
+
+// DropDual: candidates are nonbasic; dropped_out[k] = jn (fixed).
+ipxint ipxlu_drop_dual(void* h, ipxint* basis, ipxint* map2basis,
+                       double* colscale, const ipxint* candidates,
+                       ipxint ncand, ipxint* next_i, double volume_tol,
+                       double pause_abs_s, ipxint* fresh,
+                       ipxint* dropped_out, ipxint* ndropped,
+                       ipxint* icounts, double* dcounts, double* fills,
+                       ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    const double pivot_zero_tol = 1e-7;
+    XoverCounts c;
+    c.fills = fills;
+    c.fills_cap = fills_cap;
+    double* ft = lu.xw_ft.data();
+    ipxint* ftpat = lu.xw_ftpat.data();
+    std::vector<double> invscale(m);
+    for (ipxint p = 0; p < m; p++) {
+        double v = 1.0 / colscale[basis[p]];
+        invscale[p] = std::isfinite(v) ? v : 0.0;
+    }
+    ipxint ret = 0;
+    while (*next_i < ncand) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        ipxint jn = candidates[ncand - 1 - *next_i];
+        double s = colscale[jn];
+        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+        ipxint pmax = -1;
+        double vmax = 0.0;
+        auto score = [&](ipxint p, double piv) {
+            double a = std::fabs(piv);
+            if (a <= pivot_zero_tol) return;
+            double v = a * invscale[p] * s;
+            if (v > vmax) { vmax = v; pmax = p; }
+        };
+        if (fnz >= 0)
+            for (ipxint t = 0; t < fnz; t++) score(ftpat[t], ft[ftpat[t]]);
+        else
+            for (ipxint p = 0; p < m; p++)
+                if (ft[p] != 0.0) score(p, ft[p]);
+        if (pmax >= 0 && vmax > volume_tol) {
+            double pivot = ft[pmax];
+            ipxint jb = basis[pmax];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         pivot, -1, fresh, c);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            double iv = 1.0 / colscale[jn];
+            invscale[pmax] = std::isfinite(iv) ? iv : 0.0;
+            c.pivots++;
+        } else {
+            if (map2basis[jn] == -1) map2basis[jn] = -2;   // NONBASIC_FIXED
+            colscale[jn] = 0.0;
+            dropped_out[(*ndropped)++] = jn;
+        }
         (*next_i)++;
     }
     c.flush(icounts, dcounts, nfills);
