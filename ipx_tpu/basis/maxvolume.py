@@ -132,16 +132,105 @@ class Maxvolume:
         cs[nb] = colscale[nb]
 
         perm = np.argsort(invscale_basic, kind="stable")
+        native = self._native_ctx(basis)
         for s in range(num_slices):
             tblrow_used = np.zeros(m, dtype=bool)
             tblrow_used[perm[np.arange(m) % num_slices == s]] = True
-            errflag = self._driver(basis, cs, invscale_basic, tblrow_used)
+            if native is not None:
+                errflag = self._driver_native(native, basis, cs,
+                                              invscale_basic, tblrow_used)
+            else:
+                errflag = self._driver(basis, cs, invscale_basic,
+                                       tblrow_used)
             if errflag:
                 break
 
         self.time = perf_counter() - t0
         self.passes = -1
         self.slices = num_slices
+        return errflag
+
+    # ------------------------------------------------------------------
+    def _native_ctx(self, basis: Basis):
+        from .crossover import _xover_native_ctx
+        ctx = _xover_native_ctx(basis)
+        if ctx is None:
+            return None
+        lib, handle = ctx
+        if not hasattr(lib, "_maxvol_ready"):
+            import ctypes as ct
+            I = ct.c_int64
+            D = ct.c_double
+            P_ = ct.c_void_p
+            IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            BA = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.ipxlu_maxvol_slice.restype = I
+            lib.ipxlu_maxvol_slice.argtypes = [
+                P_, IA, IA, DA, DA, BA, DA, D, I, D, IA, IA, DA,
+                IA, DA, DA, I, IA]
+            lib._maxvol_ready = True
+        return lib, handle
+
+    def _driver_native(self, native, basis: Basis, colscale, invscale_basic,
+                       tblrow_used) -> int:
+        """Whole-slice driver in the native kernel (chunked for interrupt
+        checks); mirrors _driver/reference: src/maxvolume.cc:202-320."""
+        import time as _t
+        lib, handle = native
+        md = basis.model
+        volumetol = max(self.control.parameters.volume_tol, 1.0)
+        maxskip = self.control.parameters.maxskip_updates
+
+        work = np.where(tblrow_used, invscale_basic, 0.0)
+        work = basis.solve_dense(work, "T")
+        aty = md.AIt_mul(work)
+        colweights = np.ascontiguousarray(
+            np.where(colscale != 0.0, aty * colscale, 0.0))
+        used8 = np.ascontiguousarray(tblrow_used, dtype=np.int8)
+
+        fresh = np.array([1 if basis.factorization_is_fresh else 0],
+                         dtype=np.int64)
+        skipstate = np.zeros(1, dtype=np.int64)
+        volinc = np.zeros(1, dtype=np.float64)
+        ic = np.zeros(8, dtype=np.int64)
+        dc = np.zeros(4, dtype=np.float64)
+        fills = np.zeros(256, dtype=np.float64)
+        nfills = np.zeros(1, dtype=np.int64)
+        errflag = 0
+        while True:
+            ret = int(lib.ipxlu_maxvol_slice(
+                handle, basis.basis, basis.map2basis, colscale,
+                invscale_basic, used8, colweights, volumetol, maxskip,
+                _t.monotonic() + 1.0, fresh, skipstate, volinc,
+                ic, dc, fills, 256, nfills))
+            basis.fill_factors.extend(fills[:int(nfills[0])].tolist())
+            if ret == 3:
+                try:
+                    self.control.interrupt_check()
+                except InterruptError:
+                    errflag = int(Errflag.INTERRUPT_TIME)
+                    break
+                continue
+            if ret != 0:
+                errflag = int(ret)
+            break
+        self.skipped += int(ic[0])
+        self.updates += int(ic[1])
+        self.volinc += float(volinc[0])
+        basis.num_ftran += int(ic[2])
+        basis.num_ftran_sparse += int(ic[3])
+        basis.num_btran += int(ic[4])
+        basis.num_btran_sparse += int(ic[5])
+        basis.num_updates += int(ic[6])
+        basis.num_factorizations += int(ic[7])
+        basis.time_ftran += float(dc[0])
+        basis.time_btran += float(dc[1])
+        basis.time_update += float(dc[2])
+        basis.time_factorize += float(dc[3])
+        basis.factorization_is_fresh = bool(fresh[0])
+        basis.lu._pivottol = float(
+            basis.lu.lib.ipxlu_get_pivottol(basis.lu.handle))
         return errflag
 
     def _driver(self, basis: Basis, colscale, invscale_basic,

@@ -2162,6 +2162,124 @@ ipxint ipxlu_drop_dual(void* h, ipxint* basis, ipxint* map2basis,
 }
 
 // ---------------------------------------------------------------------
+// Native maxvolume heuristic slice driver (counterpart of reference:
+// src/maxvolume.cc:202-320): given per-slice column weights (one dense
+// BTRAN + SpMV, computed by the caller), repeatedly exchange the nonbasic
+// column with the largest |weight| when its scaled FTRAN max beats
+// volume_tol, rank-1-updating the weights after each exchange; stop the
+// slice after maxskip skips. cs (nonbasic scales), invscale (by position),
+// colweights mutated in place. skipstate[0] persists the skip count across
+// pause re-entries. Returns 0 slice done, 3 paused, 301/306 fatal.
+// icounts[0] += skips, icounts[1] += exchanges (via the shared counter).
+ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
+                          double* cs, double* invscale,
+                          const int8_t* tblrow_used, double* colweights,
+                          double volumetol, ipxint maxskip,
+                          double pause_abs_s, ipxint* fresh,
+                          ipxint* skipstate, double* volinc,
+                          ipxint* icounts, double* dcounts, double* fills,
+                          ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m, n = lu.mb_n;
+    const ipxint total = n + m;
+    const double pivot_zero_tol = 1e-7;
+    XoverCounts c;
+    c.fills = fills;
+    c.fills_cap = fills_cap;
+    double* ft = lu.xw_ft.data();
+    ipxint* ftpat = lu.xw_ftpat.data();
+    double* bt = lu.xw_bt.data();
+    ipxint* btpat = lu.xw_btpat.data();
+    double* row = lu.xw_row.data();
+    ipxint* rowpat = lu.xw_rowpat.data();
+    ipxint ret = 0;
+    while (true) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        // largest |weight| column (reference FindLargest, full scan)
+        ipxint jn = -1;
+        double wmax = 0.0;
+        for (ipxint j = 0; j < total; j++) {
+            double a = std::fabs(colweights[j]);
+            if (a > wmax) { wmax = a; jn = j; }
+        }
+        if (jn < 0 || wmax == 0.0) break;
+
+        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+        double dn = cs[jn];
+        ipxint pmax = -1;
+        double vmax = 0.0;
+        auto score = [&](ipxint p, double piv) {
+            if (std::fabs(piv) <= pivot_zero_tol) return;
+            double v = std::fabs(piv * dn * invscale[p]);
+            if (v > vmax) { vmax = v; pmax = p; }
+        };
+        if (fnz >= 0)
+            for (ipxint t = 0; t < fnz; t++) score(ftpat[t], ft[ftpat[t]]);
+        else
+            for (ipxint p = 0; p < m; p++)
+                if (ft[p] != 0.0) score(p, ft[p]);
+
+        if (pmax < 0 || vmax <= volumetol) {
+            colweights[jn] = 0.0;
+            cs[jn] = 0.0;
+            c.pushes++;                    // skip counter
+            skipstate[0]++;
+            if (maxskip >= 0 && skipstate[0] > maxskip) break;
+            continue;
+        }
+
+        // recomputed column weight from the scaled FTRAN over slice rows
+        double weight_recomp = 0.0;
+        if (fnz >= 0) {
+            for (ipxint t = 0; t < fnz; t++) {
+                ipxint p = ftpat[t];
+                if (tblrow_used[p])
+                    weight_recomp += ft[p] * dn * invscale[p];
+            }
+        } else {
+            for (ipxint p = 0; p < m; p++)
+                if (tblrow_used[p] && ft[p] != 0.0)
+                    weight_recomp += ft[p] * dn * invscale[p];
+        }
+
+        ipxint jb = basis[pmax];
+        ipxint bnz;
+        ipxint rnz = tableau_row_native(lu, map2basis, pmax, 1, bt, btpat,
+                                        &bnz, row, rowpat, c);
+        double pivot = row[jn];
+        ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn, pivot,
+                                     0, fresh, c);
+        if (xret == 1) continue;
+        if (xret > 1) { ret = xret; break; }
+        c.pivots++;
+        *volinc += std::log2(vmax);
+
+        double dbinv = invscale[pmax];
+        cs[jb] = 1.0 / dbinv;
+        invscale[pmax] = 1.0 / dn;
+        cs[jn] = 0.0;
+
+        // rank-1 update of the column weights
+        double used = tblrow_used[pmax] ? 1.0 : 0.0;
+        double alpha = (used - weight_recomp) / (dn * pivot);
+        if (rnz >= 0) {
+            for (ipxint t = 0; t < rnz; t++) {
+                ipxint j = rowpat[t];
+                colweights[j] += alpha * row[j] * cs[j];
+            }
+        } else {
+            for (ipxint j = 0; j < total; j++)
+                if (row[j] != 0.0)
+                    colweights[j] += alpha * row[j] * cs[j];
+        }
+        colweights[jb] = used + alpha / dbinv;
+        colweights[jn] = 0.0;
+    }
+    c.flush(icounts, dcounts, nfills);
+    return ret;
+}
+
+// ---------------------------------------------------------------------
 // Splitted-normal operator + whole phase-2 CR loop in native code
 // (counterpart of reference: src/splitted_normal_matrix.cc +
 // src/conjugate_residuals.cc:14-88 + src/kkt_solver_basis.cc:145-156,
