@@ -122,11 +122,12 @@ class Maxvolume:
         num_slices = 5 + max(m // self.control.parameters.rows_per_slice, 0)
         num_slices = min(num_slices, m)
 
-        invscale_basic = np.zeros(m)
-        for p in range(m):
-            j = int(basis.basis[p])
-            if basis.status_of(j) == BASIC:
-                invscale_basic[p] = 1.0 / colscale[j]
+        # invscale by position; BASIC only (zero at BASIC_FREE positions)
+        mp_basic = basis.map2basis[basis.basis]
+        plain = (mp_basic >= 0) & (mp_basic < m)
+        with np.errstate(divide="ignore"):
+            invscale_basic = np.where(plain, 1.0 / colscale[basis.basis],
+                                      0.0)
         cs = np.zeros(n + m)
         nb = basis.map2basis == -1
         cs[nb] = colscale[nb]

@@ -2193,16 +2193,51 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
     double* row = lu.xw_row.data();
     ipxint* rowpat = lu.xw_rowpat.data();
     ipxint ret = 0;
+    // Top-K candidate batch: one O(n+m) scan yields the K largest
+    // |weight| columns, consumed largest-first; stale (zeroed) candidates
+    // trigger a rescan. Mirrors the Python heuristic (a batched variant of
+    // the reference's FindLargest rescans, reference: src/maxvolume.cc).
+    const int K = 32;
+    ipxint cand[K];
+    double cw[K];
+    int ncand = 0;
+    bool fresh_scan = false;
     while (true) {
         if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
-        // largest |weight| column (reference FindLargest, full scan)
-        ipxint jn = -1;
-        double wmax = 0.0;
-        for (ipxint j = 0; j < total; j++) {
-            double a = std::fabs(colweights[j]);
-            if (a > wmax) { wmax = a; jn = j; }
+        if (ncand == 0) {
+            fresh_scan = true;
+            for (ipxint j = 0; j < total; j++) {
+                double a = std::fabs(colweights[j]);
+                if (ncand == K && a <= cw[0]) continue;
+                // insert keeping cw ascending
+                int t;
+                if (ncand < K) {
+                    t = ncand++;
+                    while (t > 0 && cw[t - 1] > a) {
+                        cw[t] = cw[t - 1];
+                        cand[t] = cand[t - 1];
+                        t--;
+                    }
+                } else {
+                    // evict the smallest, shift entries below a down
+                    t = 0;
+                    while (t + 1 < K && cw[t + 1] < a) {
+                        cw[t] = cw[t + 1];
+                        cand[t] = cand[t + 1];
+                        t++;
+                    }
+                }
+                cw[t] = a;
+                cand[t] = j;
+            }
+            if (ncand == 0) break;
         }
-        if (jn < 0 || wmax == 0.0) break;
+        ipxint jn = cand[ncand - 1];
+        if (colweights[jn] == 0.0) {
+            if (fresh_scan) break;  // a fresh scan's maximum is zero: done
+            ncand = 0;              // stale candidate: rescan
+            continue;
+        }
 
         ipxint fnz = ftran_col_for_update(lu, jn, c, true);
         double dn = cs[jn];
@@ -2222,6 +2257,7 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
         if (pmax < 0 || vmax <= volumetol) {
             colweights[jn] = 0.0;
             cs[jn] = 0.0;
+            ncand--;
             c.pushes++;                    // skip counter
             skipstate[0]++;
             if (maxskip >= 0 && skipstate[0] > maxskip) break;
@@ -2274,6 +2310,8 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
         }
         colweights[jb] = used + alpha / dbinv;
         colweights[jn] = 0.0;
+        ncand--;
+        fresh_scan = false;
     }
     c.flush(icounts, dcounts, nfills);
     return ret;
