@@ -163,26 +163,32 @@ class Basis:
         md = self.model
         m, n = md.num_rows, md.num_cols
         A = md.A
-        begin = np.zeros(m, dtype=np.int64)
-        end = np.zeros(m, dtype=np.int64)
         # structural columns point into A; slack columns into a unit block
-        # appended after A's data.
-        nnzA = A.indptr[-1]
-        Bi = np.concatenate([A.indices.astype(np.int64), np.arange(m)])
-        Bx = np.concatenate([A.data, np.ones(m)])
-        for p in range(m):
-            j = self.basis[p]
-            if j < 0:
-                if not allow_empty:
-                    raise ValueError("empty basis slot")
-                begin[p] = end[p] = 0
-            elif j < n:
-                begin[p] = A.indptr[j]
-                end[p] = A.indptr[j + 1]
-            else:
-                begin[p] = nnzA + (j - n)
-                end[p] = begin[p] + 1
-        return begin, end, Bi, Bx
+        # appended after A's data. The concatenated arrays are invariant:
+        # build once and cache on the model.
+        cache = getattr(md, "_basis_BiBx", None)
+        if cache is None or cache[0].shape[0] != A.indptr[-1] + m:
+            nnzA = int(A.indptr[-1])
+            Bi = np.concatenate([A.indices.astype(np.int64),
+                                 np.arange(m, dtype=np.int64)])
+            Bx = np.concatenate([A.data.astype(np.float64), np.ones(m)])
+            md._basis_BiBx = cache = (np.ascontiguousarray(Bi),
+                                      np.ascontiguousarray(Bx))
+        Bi, Bx = cache
+        nnzA = int(A.indptr[-1])
+        b = self.basis
+        if not allow_empty and np.any(b < 0):
+            raise ValueError("empty basis slot")
+        indptr = A.indptr.astype(np.int64)
+        struct = (b >= 0) & (b < n)
+        slack = b >= n
+        js = np.where(struct, b, 0)
+        begin = np.where(struct, indptr[js], 0)
+        end = np.where(struct, indptr[js + 1], 0)
+        begin = np.where(slack, nnzA + (b - n), begin)
+        end = np.where(slack, begin + 1, end)
+        return (np.ascontiguousarray(begin), np.ascontiguousarray(end),
+                Bi, Bx)
 
     def factorize(self) -> int:
         """reference: src/basis.cc:116-156"""

@@ -32,6 +32,13 @@ from .iterate import Iterate
 from .kkt.base import KKTSolver
 from .status import Errflag, InterruptError, SolveStatus
 
+try:
+    from .native import veckernels as _VK
+    if not _VK.available():
+        _VK = None
+except Exception:
+    _VK = None
+
 INF = np.inf
 
 # IPM terminates when the complementarity gap exceeds kDivergeTol times the
@@ -316,15 +323,21 @@ class IPM:
         maxd = min(_step_to_boundary(it.zl, step.zl),
                    _step_to_boundary(it.zu, step.zu))
 
-        with np.errstate(invalid="ignore"):
-            prods_l = ((it.xl + maxp * step.xl)
-                       * (it.zl + maxd * step.zl))[blb]
-            prods_u = ((it.xu + maxp * step.xu)
-                       * (it.zu + maxd * step.zu))[bub]
+        if _VK is not None:
+            psum, num_finite = _VK.compl_products(
+                it.state, it.xl, it.zl, it.xu, it.zu, step.xl, step.zl,
+                step.xu, step.zu, maxp, maxd)
+        else:
+            with np.errstate(invalid="ignore"):
+                prods_l = ((it.xl + maxp * step.xl)
+                           * (it.zl + maxd * step.zl))[blb]
+                prods_u = ((it.xu + maxp * step.xu)
+                           * (it.zu + maxd * step.zu))[bub]
+            num_finite = prods_l.size + prods_u.size
+            psum = float(prods_l.sum() + prods_u.sum())
         # With no barrier terms left (all variables free/fixed) the centering
         # quantities are unused; guard the division.
-        num_finite = prods_l.size + prods_u.size
-        muaff = float(prods_l.sum() + prods_u.sum()) / max(num_finite, 1)
+        muaff = psum / max(num_finite, 1)
         ratio = muaff / mu if mu > 0.0 else 0.0
         sigma = ratio ** 3
 
@@ -358,13 +371,19 @@ class IPM:
         maxp = min(step_xl, step_xu)
         maxd = min(step_zl, step_zu)
 
-        with np.errstate(invalid="ignore"):
-            prods_l = ((it.xl + maxp * step.xl)
-                       * (it.zl + maxd * step.zl))[blb]
-            prods_u = ((it.xu + maxp * step.xu)
-                       * (it.zu + maxd * step.zu))[bub]
-        num_finite = prods_l.size + prods_u.size
-        mufull = float(prods_l.sum() + prods_u.sum()) / max(num_finite, 1)
+        if _VK is not None:
+            psum, num_finite = _VK.compl_products(
+                it.state, it.xl, it.zl, it.xu, it.zu, step.xl, step.zl,
+                step.xu, step.zu, maxp, maxd)
+        else:
+            with np.errstate(invalid="ignore"):
+                prods_l = ((it.xl + maxp * step.xl)
+                           * (it.zl + maxd * step.zl))[blb]
+                prods_u = ((it.xu + maxp * step.xu)
+                           * (it.zu + maxd * step.zu))[bub]
+            num_finite = prods_l.size + prods_u.size
+            psum = float(prods_l.sum() + prods_u.sum())
+        mufull = psum / max(num_finite, 1)
         mufull /= gammaa
 
         alphap = 1.0
@@ -420,13 +439,20 @@ class IPM:
         fixed = it.fixed_mask
         free = it.free_mask
 
-        rhs1 = -rc.copy() if rc is not None else np.zeros(nm)
         rlv = rl if rl is not None else np.zeros(nm)
         ruv = ru if ru is not None else np.zeros(nm)
-        with np.errstate(invalid="ignore"):
-            rhs1 = np.where(blb, rhs1 + (sl + it.zl * rlv) / it.xl, rhs1)
-            rhs1 = np.where(bub, rhs1 - (su - it.zu * ruv) / it.xu, rhs1)
-        rhs1[fixed] = 0.0
+        rcv0 = rc if rc is not None else np.zeros(nm)
+        if _VK is not None:
+            rhs1 = _VK.newton_rhs1(it.state, rcv0, rlv, ruv, sl, su,
+                                   it.xl, it.xu, it.zl, it.zu)
+        else:
+            rhs1 = -rcv0.copy()
+            with np.errstate(invalid="ignore"):
+                rhs1 = np.where(blb, rhs1 + (sl + it.zl * rlv) / it.xl,
+                                rhs1)
+                rhs1 = np.where(bub, rhs1 - (su - it.zu * ruv) / it.xu,
+                                rhs1)
+            rhs1[fixed] = 0.0
         rhs2 = rb.copy() if rb is not None else np.zeros(m)
 
         tol = self.control.parameters.kkt_tol * np.sqrt(it.mu())
@@ -438,25 +464,30 @@ class IPM:
         step.x = dx
         step.y = dy
 
-        barrier = ~fixed & ~free
-        dxl = np.where(barrier, dx - rlv, 0.0)
-        with np.errstate(invalid="ignore"):
-            dzl = np.where(barrier, (sl - it.zl * dxl) / it.xl, 0.0)
-        dxu = np.where(barrier, ruv - dx, 0.0)
-        with np.errstate(invalid="ignore"):
-            dzu = np.where(barrier, (su - it.zu * dxu) / it.xu, 0.0)
-
-        # Shift residual of the first KKT block into dzl/dzu.
         atdy = md.AIt_mul(dy)
-        rcv = rc if rc is not None else np.zeros(nm)
-        finxl = np.isfinite(it.xl)
-        finxu = np.isfinite(it.xu)
-        with np.errstate(invalid="ignore"):
-            lower_side = it.zl * it.xu >= it.zu * it.xl
-        use_l = barrier & finxl & (~finxu | lower_side)
-        use_u = barrier & finxu & ~use_l
-        dzl = np.where(use_l, rcv + dzu - atdy, dzl)
-        dzu = np.where(use_u, -rcv + dzl + atdy, dzu)
+        if _VK is not None:
+            dxl, dxu, dzl, dzu = _VK.newton_recover(
+                it.state, dx, atdy, rcv0, rlv, ruv, sl, su,
+                it.xl, it.xu, it.zl, it.zu)
+        else:
+            barrier = ~fixed & ~free
+            dxl = np.where(barrier, dx - rlv, 0.0)
+            with np.errstate(invalid="ignore"):
+                dzl = np.where(barrier, (sl - it.zl * dxl) / it.xl, 0.0)
+            dxu = np.where(barrier, ruv - dx, 0.0)
+            with np.errstate(invalid="ignore"):
+                dzu = np.where(barrier, (su - it.zu * dxu) / it.xu, 0.0)
+
+            # Shift residual of the first KKT block into dzl/dzu.
+            rcv = rcv0
+            finxl = np.isfinite(it.xl)
+            finxu = np.isfinite(it.xu)
+            with np.errstate(invalid="ignore"):
+                lower_side = it.zl * it.xu >= it.zu * it.xl
+            use_l = barrier & finxl & (~finxu | lower_side)
+            use_u = barrier & finxu & ~use_l
+            dzl = np.where(use_l, rcv + dzu - atdy, dzl)
+            dzu = np.where(use_u, -rcv + dzl + atdy, dzu)
 
         step.xl = dxl
         step.xu = dxu
@@ -510,6 +541,9 @@ def _step_to_boundary(x: np.ndarray, dx: np.ndarray) -> float:
 
 
 def _step_to_boundary_idx(x: np.ndarray, dx: np.ndarray):
+    if _VK is not None and x.size:
+        alpha, j = _VK.step_boundary(x, dx)
+        return alpha, j
     damp = 1.0 - np.finfo(float).eps
     with np.errstate(invalid="ignore", divide="ignore"):
         cand = np.where(dx < 0.0, -(x * damp) / dx, INF)

@@ -21,6 +21,13 @@ import numpy as np
 
 from .model import Model
 
+try:
+    from .native import veckernels as _VK
+    if not _VK.available():
+        _VK = None
+except Exception:
+    _VK = None
+
 INF = np.inf
 
 # state codes (int8)
@@ -139,6 +146,21 @@ class Iterate:
         """Masked step (reference: src/iterate.cc:96-139): x moves unless
         fixed; xl/zl move only with a lower barrier, xu/zu only with an upper
         barrier; positives are clamped at BARRIER_MIN."""
+        if (_VK is not None and dx is not None and dxl is not None
+                and dxu is not None and dzl is not None
+                and dzu is not None):
+            for name in ("x", "xl", "xu", "zl", "zu"):
+                a = getattr(self, name)
+                if not (a.flags["C_CONTIGUOUS"] and a.dtype == np.float64):
+                    setattr(self, name, np.ascontiguousarray(
+                        a, dtype=np.float64))
+            _VK.iterate_update(self.state, sp, sd, self.x, self.xl,
+                               self.xu, self.zl, self.zu, dx, dxl, dxu,
+                               dzl, dzu)
+            if dy is not None:
+                self.y = self.y + sd * dy
+            self._evaluated = False
+            return
         if dx is not None:
             notfixed = self.state != FIXED
             self.x = np.where(notfixed, self.x + sp * dx, self.x)

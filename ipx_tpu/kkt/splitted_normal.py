@@ -80,14 +80,17 @@ class SplittedNormalMatrix(LinearOperator):
         else:
             N = Nstruct.tocsc()
             scales = colscale[struct_nb]
-        # permute rows and scale columns
-        P = sp.csr_matrix(
-            (np.ones(m), (rowperm_inv, np.arange(m))), shape=(m, m))
-        N = (P @ N).tocsc()
-        N.data *= scales.repeat(np.diff(N.indptr))
+        # permute rows (index remap; indices become unsorted, which both
+        # consumers accept) and scale columns
+        N = N.tocsc()
+        N = sp.csc_matrix(
+            (N.data * scales.repeat(np.diff(N.indptr)),
+             rowperm_inv[N.indices], N.indptr), shape=(m, N.shape[1]))
         self.N = N
-        self.NT = N.T.tocsr()
+        self.NT = None          # built lazily for the non-native path
         self._prepare_native(lu)
+        if self._native is None:
+            self.NT = N.T.tocsr()
         self.prepared = True
 
     def _prepare_native(self, lu) -> None:
@@ -160,6 +163,8 @@ class SplittedNormalMatrix(LinearOperator):
 
         # lhs = N N' w
         t0 = perf_counter()
+        if self.NT is None:
+            self.NT = self.N.T.tocsr()
         u = self.NT @ w
         lhs = self.N @ u
         self.time_NNt += perf_counter() - t0

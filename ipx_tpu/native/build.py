@@ -19,10 +19,15 @@ def build(force: bool = False) -> str:
     if (not force and os.path.exists(LIB)
             and os.path.getmtime(LIB) >= os.path.getmtime(SRC)):
         return LIB
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-o", LIB, SRC]
+    base = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+            "-std=c++17", "-o", LIB, SRC]
+    cmd = base[:1] + ["-fopenmp"] + base[1:]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError:
+            # toolchains without libgomp: serial build
+            subprocess.run(base, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:
         raise RuntimeError(
             f"ipxlu native build failed:\n{e.stderr}") from e

@@ -36,6 +36,10 @@
 #include <limits>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 typedef int64_t ipxint;
 
 namespace {
@@ -1431,10 +1435,60 @@ double ipxlu_fill_factor(void* h) {
 // Fused normal-matrix apply: lhs = A diag(W_struct) A' rhs + W_slack . rhs
 // in ONE pass over the columns of A (the strategy the reference chose after
 // profiling three variants, reference: src/normal_matrix.cc:10-22,64-75).
+// Parallelized over column blocks with per-thread accumulators (the scatter
+// target is private per thread, then reduced) when OpenMP is available.
 // Returns rhs . lhs fused with the product.
 double ipxlu_normal_apply(ipxint m, ipxint n, const ipxint* Ap,
                           const ipxint* Ai, const double* Ax,
                           const double* W, const double* rhs, double* lhs) {
+#ifdef _OPENMP
+    if ((Ap[n] >= (ipxint)1 << 17) && omp_get_max_threads() > 1) {
+        static std::vector<std::vector<double>> accs;   // per-thread scatter
+        int NT = omp_get_max_threads();
+        if ((int)accs.size() < NT) accs.resize(NT);
+        double dot = 0.0;
+#pragma omp parallel num_threads(NT) reduction(+ : dot)
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            auto& mine = accs[tid];
+            if ((ipxint)mine.size() < m) mine.resize(m);
+            std::fill(mine.begin(), mine.begin() + m, 0.0);
+            double* a = mine.data();
+            // contiguous nnz-balanced column blocks
+            const ipxint nnz = Ap[n];
+            ipxint lo = (ipxint)(std::lower_bound(
+                Ap, Ap + n + 1, nnz * tid / nt) - Ap);
+            ipxint hi = (ipxint)(std::lower_bound(
+                Ap, Ap + n + 1, nnz * (tid + 1) / nt) - Ap);
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = n;
+            for (ipxint j = lo; j < hi; j++) {
+                const ipxint begin = Ap[j], end = Ap[j + 1];
+                double d = 0.0;
+                for (ipxint p = begin; p < end; p++)
+                    d += rhs[Ai[p]] * Ax[p];
+                d *= W[j];
+                if (d != 0.0)
+                    for (ipxint p = begin; p < end; p++)
+                        a[Ai[p]] += d * Ax[p];
+            }
+#pragma omp barrier
+            // reduce all accumulators into lhs by row blocks; fused dot
+            ipxint rlo = m * (ipxint)tid / nt, rhi = m * ((ipxint)tid + 1) / nt;
+            double d2 = 0.0;
+            for (ipxint i = rlo; i < rhi; i++) {
+                double v = rhs[i] * W[n + i];
+                for (int t = 0; t < nt; t++)
+                    v += accs[t][i];
+                lhs[i] = v;
+                d2 += rhs[i] * v;
+            }
+            dot += d2;
+        }
+        return dot;
+    }
+#endif
     for (ipxint i = 0; i < m; i++)
         lhs[i] = rhs[i] * W[n + i];
     for (ipxint j = 0; j < n; j++) {
@@ -2408,6 +2462,134 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
     out_times[1] = lu.t_Bt;
     out_times[2] = lu.t_NNt;
     return err;
+}
+
+// ---------------------------------------------------------------------
+// Fused IPM vector kernels: single-pass versions of the per-iteration
+// masked-vector chains in the Newton solve / step-size / update path
+// (reference: src/ipm.cc:319-339,438-531,551-631 and src/iterate.cc:96-139).
+// State codes match ipx_tpu/iterate.py: 0 BARRIER_LB, 1 BARRIER_UB,
+// 2 BARRIER_BOXED, 3 FREE, 4 FIXED, 5-7 IMPLIED_*.
+// ---------------------------------------------------------------------
+
+static inline bool st_blb(int8_t s) { return s == 0 || s == 2; }
+static inline bool st_bub(int8_t s) { return s == 1 || s == 2; }
+
+// rhs1 = -rc + [blb](sl + zl*rl)/xl - [bub](su - zu*ru)/xu; 0 at FIXED
+// (reference: src/ipm.cc:551-560)
+void ipxlu_newton_rhs1(ipxint nm, const int8_t* state, const double* rc,
+                       const double* rl, const double* ru, const double* sl,
+                       const double* su, const double* xl, const double* xu,
+                       const double* zl, const double* zu, double* rhs1) {
+    for (ipxint j = 0; j < nm; j++) {
+        int8_t s = state[j];
+        double v = -rc[j];
+        if (st_blb(s)) v += (sl[j] + zl[j] * rl[j]) / xl[j];
+        if (st_bub(s)) v -= (su[j] - zu[j] * ru[j]) / xu[j];
+        rhs1[j] = (s == 4) ? 0.0 : v;
+    }
+}
+
+// Recover dxl/dxu/dzl/dzu from dx and shift the first-block residual into
+// dzl/dzu on the finite-bound side (reference: src/ipm.cc:577-631).
+void ipxlu_newton_recover(ipxint nm, const int8_t* state, const double* dx,
+                          const double* atdy, const double* rc,
+                          const double* rl, const double* ru,
+                          const double* sl, const double* su,
+                          const double* xl, const double* xu,
+                          const double* zl, const double* zu, double* dxl,
+                          double* dxu, double* dzl, double* dzu) {
+    for (ipxint j = 0; j < nm; j++) {
+        int8_t s = state[j];
+        if (s > 2) {            // not a barrier variable
+            dxl[j] = dxu[j] = dzl[j] = dzu[j] = 0.0;
+            continue;
+        }
+        double a = dx[j] - rl[j];
+        double zl_ = (sl[j] - zl[j] * a) / xl[j];
+        double b = ru[j] - dx[j];
+        double zu_ = (su[j] - zu[j] * b) / xu[j];
+        bool finl = std::isfinite(xl[j]);
+        bool finu = std::isfinite(xu[j]);
+        bool lower = zl[j] * xu[j] >= zu[j] * xl[j];   // NaN compares false
+        bool use_l = finl && (!finu || lower);
+        if (use_l)
+            zl_ = rc[j] + zu_ - atdy[j];
+        else if (finu)
+            zu_ = -rc[j] + zl_ + atdy[j];
+        dxl[j] = a;
+        dxu[j] = b;
+        dzl[j] = zl_;
+        dzu[j] = zu_;
+    }
+}
+
+// Max alpha <= 1 with x + alpha*dx >= 0; entries with x == inf never block
+// (reference: src/ipm.cc:319-339). Returns the blocking index or -1.
+ipxint ipxlu_step_boundary(ipxint nm, const double* x, const double* dx,
+                           double* alpha_out) {
+    const double damp = 1.0 - 2.220446049250313e-16;
+    double best = std::numeric_limits<double>::infinity();
+    ipxint bestj = -1;
+    for (ipxint j = 0; j < nm; j++) {
+        if (dx[j] < 0.0 && std::isfinite(x[j])) {
+            double cand = -(x[j] * damp) / dx[j];
+            if (cand < best) { best = cand; bestj = j; }
+        }
+    }
+    if (bestj < 0 || best >= 1.0) {
+        *alpha_out = 1.0;
+        return -1;
+    }
+    *alpha_out = best;
+    return bestj;
+}
+
+// sum over barrier sides of (xl+maxp*dxl)(zl+maxd*dzl) etc., with the
+// number of terms (for muaff / mufull; reference: src/ipm.cc:394-413,455).
+void ipxlu_compl_products(ipxint nm, const int8_t* state, const double* xl,
+                          const double* zl, const double* xu,
+                          const double* zu, const double* dxl,
+                          const double* dzl, const double* dxu,
+                          const double* dzu, double maxp, double maxd,
+                          double* sum_out, ipxint* count_out) {
+    double sum = 0.0;
+    ipxint count = 0;
+    for (ipxint j = 0; j < nm; j++) {
+        int8_t s = state[j];
+        if (st_blb(s)) {
+            sum += (xl[j] + maxp * dxl[j]) * (zl[j] + maxd * dzl[j]);
+            count++;
+        }
+        if (st_bub(s)) {
+            sum += (xu[j] + maxp * dxu[j]) * (zu[j] + maxd * dzu[j]);
+            count++;
+        }
+    }
+    *sum_out = sum;
+    *count_out = count;
+}
+
+// Masked iterate step with clamping at kBarrierMin = 1e-30
+// (reference: src/iterate.cc:96-139).
+void ipxlu_iterate_update(ipxint nm, const int8_t* state, double sp,
+                          double sd, double* x, double* xl, double* xu,
+                          double* zl, double* zu, const double* dx,
+                          const double* dxl, const double* dxu,
+                          const double* dzl, const double* dzu) {
+    const double bmin = 1e-30;
+    for (ipxint j = 0; j < nm; j++) {
+        int8_t s = state[j];
+        if (s != 4) x[j] += sp * dx[j];
+        if (st_blb(s)) {
+            xl[j] = std::max(xl[j] + sp * dxl[j], bmin);
+            zl[j] = std::max(zl[j] + sd * dzl[j], bmin);
+        }
+        if (st_bub(s)) {
+            xu[j] = std::max(xu[j] + sp * dxu[j], bmin);
+            zu[j] = std::max(zu[j] + sd * dzu[j], bmin);
+        }
+    }
 }
 
 }  // extern "C"
