@@ -106,11 +106,13 @@ class KKTSolverDiag(KKTSolver):
                 I = ct.c_int64
                 D = ct.c_double
                 IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                IA32 = np.ctypeslib.ndpointer(np.int32,
+                                              flags="C_CONTIGUOUS")
                 DA = np.ctypeslib.ndpointer(np.float64,
                                             flags="C_CONTIGUOUS")
                 lib.ipxlu_cr_diag.restype = I
-                lib.ipxlu_cr_diag.argtypes = [I, I, IA, IA, DA, DA, DA, DA,
-                                              DA, D, I, D, DA,
+                lib.ipxlu_cr_diag.argtypes = [I, I, IA, IA32, DA, DA, DA,
+                                              DA, DA, D, I, D, DA,
                                               ct.POINTER(I)]
                 lib._cr_ready = True
             self._native_cr = (lib, Ap, Ai, Ax, ct)

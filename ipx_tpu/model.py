@@ -131,13 +131,59 @@ class Model:
         return self._device
 
     # -- products with AI = [A I] (slack identity implicit) --------------
+    def _native_mul(self):
+        """(lib, Ap, Ai, Ax) for the native SpMV kernels, or None."""
+        h = getattr(self, "_native_mul_h", False)
+        if h is not False:
+            return h
+        h = None
+        try:
+            import ctypes
+            from .basis.lu import _load_lib
+            lib = _load_lib()
+            if not hasattr(lib, "_aimul_ready"):
+                I = ctypes.c_int64
+                IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                IA32 = np.ctypeslib.ndpointer(np.int32,
+                                              flags="C_CONTIGUOUS")
+                DA = np.ctypeslib.ndpointer(np.float64,
+                                            flags="C_CONTIGUOUS")
+                lib.ipxlu_ai_mul.argtypes = [I, I, IA, IA32, DA, DA, DA]
+                lib.ipxlu_ait_mul.argtypes = [I, I, IA, IA32, DA, DA, DA]
+                lib._aimul_ready = True
+            if not hasattr(self, "_native_csc32"):
+                A = self.A
+                self._native_csc32 = (
+                    np.ascontiguousarray(A.indptr, dtype=np.int64),
+                    np.ascontiguousarray(A.indices, dtype=np.int32),
+                    np.ascontiguousarray(A.data, dtype=np.float64))
+            h = (lib,) + self._native_csc32
+        except Exception:
+            h = None
+        self._native_mul_h = h
+        return h
+
     def AI_mul(self, x: np.ndarray) -> np.ndarray:
         """AI @ x for x of length n+m."""
         n = self.num_cols
+        h = self._native_mul()
+        if h is not None and x.dtype == np.float64:
+            lib, Ap, Ai, Ax = h
+            out = np.empty(self.num_rows)
+            lib.ipxlu_ai_mul(self.num_rows, n, Ap, Ai, Ax,
+                             np.ascontiguousarray(x), out)
+            return out
         return self.A @ x[:n] + x[n:]
 
     def AIt_mul(self, y: np.ndarray) -> np.ndarray:
         """AI' @ y, returns length n+m."""
+        h = self._native_mul()
+        if h is not None and y.dtype == np.float64:
+            lib, Ap, Ai, Ax = h
+            out = np.empty(self.num_var_all)
+            lib.ipxlu_ait_mul(self.num_rows, self.num_cols, Ap, Ai, Ax,
+                              np.ascontiguousarray(y), out)
+            return out
         out = np.empty(self.num_var_all)
         out[:self.num_cols] = y @ self.A_csr
         out[self.num_cols:] = y

@@ -1439,7 +1439,7 @@ double ipxlu_fill_factor(void* h) {
 // target is private per thread, then reduced) when OpenMP is available.
 // Returns rhs . lhs fused with the product.
 double ipxlu_normal_apply(ipxint m, ipxint n, const ipxint* Ap,
-                          const ipxint* Ai, const double* Ax,
+                          const int32_t* Ai, const double* Ax,
                           const double* W, const double* rhs, double* lhs) {
 #ifdef _OPENMP
     if ((Ap[n] >= (ipxint)1 << 17) && omp_get_max_threads() > 1) {
@@ -1508,13 +1508,86 @@ double ipxlu_normal_apply(ipxint m, ipxint n, const ipxint* Ap,
 }
 
 // ---------------------------------------------------------------------
+// Products with AI = [A I] (slack identity implicit), the counterparts of
+// Model::AI_mul / AIt_mul (reference: src/model.h:60-74 column access;
+// SpMV strategy as in src/sparse_matrix.cc:194-311). Parallelized like the
+// fused normal apply.
+
+// out[m] = A x[0:n] + x[n:n+m]
+void ipxlu_ai_mul(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
+                  const double* Ax, const double* x, double* out) {
+#ifdef _OPENMP
+    if ((Ap[n] >= (ipxint)1 << 17) && omp_get_max_threads() > 1) {
+        static std::vector<std::vector<double>> accs;
+        int NT = omp_get_max_threads();
+        if ((int)accs.size() < NT) accs.resize(NT);
+#pragma omp parallel num_threads(NT)
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            auto& mine = accs[tid];
+            if ((ipxint)mine.size() < m) mine.resize(m);
+            std::fill(mine.begin(), mine.begin() + m, 0.0);
+            double* a = mine.data();
+            const ipxint nnz = Ap[n];
+            ipxint lo = (ipxint)(std::lower_bound(
+                Ap, Ap + n + 1, nnz * tid / nt) - Ap);
+            ipxint hi = (ipxint)(std::lower_bound(
+                Ap, Ap + n + 1, nnz * (tid + 1) / nt) - Ap);
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = n;
+            for (ipxint j = lo; j < hi; j++) {
+                double v = x[j];
+                if (v != 0.0)
+                    for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+                        a[Ai[p]] += v * Ax[p];
+            }
+#pragma omp barrier
+            ipxint rlo = m * (ipxint)tid / nt;
+            ipxint rhi = m * ((ipxint)tid + 1) / nt;
+            for (ipxint i = rlo; i < rhi; i++) {
+                double v = x[n + i];
+                for (int t = 0; t < nt; t++)
+                    v += accs[t][i];
+                out[i] = v;
+            }
+        }
+        return;
+    }
+#endif
+    for (ipxint i = 0; i < m; i++)
+        out[i] = x[n + i];
+    for (ipxint j = 0; j < n; j++) {
+        double v = x[j];
+        if (v != 0.0)
+            for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+                out[Ai[p]] += v * Ax[p];
+    }
+}
+
+// out[n+m] = [A' y; y]
+void ipxlu_ait_mul(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
+                   const double* Ax, const double* y, double* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (Ap[n] >= (ipxint)1 << 17)
+#endif
+    for (ipxint j = 0; j < n; j++) {
+        double d = 0.0;
+        for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+            d += y[Ai[p]] * Ax[p];
+        out[j] = d;
+    }
+    std::memcpy(out + n, y, m * sizeof(double));
+}
+
+// ---------------------------------------------------------------------
 // Native preconditioned Conjugate Residuals on the normal equations with
 // diagonal preconditioning: the phase-1 hot loop fully in native code
 // (counterpart of reference: src/conjugate_residuals.cc:90-213 +
 // src/kkt_solver_diag.cc, fused with the one-pass matvec above).
 // Returns 0 ok, 201 iter limit, 202 matrix not posdef, 203 precond not
 // posdef, 204 no progress, 205 inf/nan, 999 deadline exceeded.
-ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const ipxint* Ai,
+ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
                      const double* Ax, const double* W, const double* diag,
                      const double* resscale, const double* rhs, double tol,
                      ipxint maxiter, double deadline_s, double* lhs,
