@@ -185,9 +185,29 @@ class Maxvolume:
 
         work = np.where(tblrow_used, invscale_basic, 0.0)
         work = basis.solve_dense(work, "T")
-        aty = md.AIt_mul(work)
-        colweights = np.ascontiguousarray(
-            np.where(colscale != 0.0, aty * colscale, 0.0))
+        mulh = md._native_mul()
+        if mulh is not None:
+            if not hasattr(lib, "_maxvolw_ready"):
+                import ctypes as ct
+                I = ct.c_int64
+                IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                IA32 = np.ctypeslib.ndpointer(np.int32,
+                                              flags="C_CONTIGUOUS")
+                DA = np.ctypeslib.ndpointer(np.float64,
+                                            flags="C_CONTIGUOUS")
+                lib.ipxlu_maxvol_weights.argtypes = [I, I, IA, IA32, DA,
+                                                     DA, DA, DA]
+                lib._maxvolw_ready = True
+            _, Ap, Ai, Ax = mulh
+            colscale = np.ascontiguousarray(colscale)
+            colweights = np.empty(md.num_var_all)
+            lib.ipxlu_maxvol_weights(md.num_rows, md.num_cols, Ap, Ai, Ax,
+                                     np.ascontiguousarray(work), colscale,
+                                     colweights)
+        else:
+            aty = md.AIt_mul(work)
+            colweights = np.ascontiguousarray(
+                np.where(colscale != 0.0, aty * colscale, 0.0))
         used8 = np.ascontiguousarray(tblrow_used, dtype=np.int8)
 
         fresh = np.array([1 if basis.factorization_is_fresh else 0],

@@ -108,8 +108,10 @@ class SplittedNormalMatrix(LinearOperator):
                 D = ct.c_double
                 P_ = ct.c_void_p
                 IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+                IA32 = np.ctypeslib.ndpointer(np.int32,
+                                              flags="C_CONTIGUOUS")
                 DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-                lib.ipxlu_splitted_prepare.argtypes = [P_, I, IA, IA, DA,
+                lib.ipxlu_splitted_prepare.argtypes = [P_, I, IA, IA32, DA,
                                                        DA, I, IA]
                 lib.ipxlu_cr_basis.restype = I
                 lib.ipxlu_cr_basis.argtypes = [P_, DA, D, I, D, DA,
@@ -117,7 +119,7 @@ class SplittedNormalMatrix(LinearOperator):
                 lib._splitted_ready = True
             N = self.N
             Np = np.ascontiguousarray(N.indptr, dtype=np.int64)
-            Ni = np.ascontiguousarray(N.indices, dtype=np.int64)
+            Ni = np.ascontiguousarray(N.indices, dtype=np.int32)
             Nx = np.ascontiguousarray(N.data, dtype=np.float64)
             us = np.ascontiguousarray(self.uscale, dtype=np.float64)
             fp = np.ascontiguousarray(self.free_positions, dtype=np.int64)

@@ -133,8 +133,11 @@ struct IpxLu {
     // (counterpart of reference: src/splitted_normal_matrix.{h,cc}):
     // N is the nonbasic partition of AI, rows in position space, columns
     // scaled; uscale scales the basic columns; freepos are the BASIC_FREE
-    // positions whose rows/columns of C are unit vectors.
-    SparseCols Nmat;
+    // positions whose rows/columns of C are unit vectors. Row indices are
+    // int32 (positions < m) to halve index traffic in the NN' product.
+    std::vector<ipxint> Nptr;
+    std::vector<int32_t> Nidx;
+    std::vector<double> Nval;
     std::vector<double> uscale;
     std::vector<ipxint> freepos;
     bool have_splitted = false;
@@ -960,19 +963,66 @@ static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
     dense_ltsolve(lu.Lt, w, m);
     lu.t_Bt += now_monotonic_s() - t0;
 
-    // lhs = N N' w, one pass over N's columns
+    // lhs = N N' w, one pass over N's columns (parallel over nnz-balanced
+    // column blocks with per-thread accumulators, like the phase-1 apply)
     t0 = now_monotonic_s();
-    std::fill(lhs, lhs + m, 0.0);
-    const SparseCols& N = lu.Nmat;
-    const ipxint ncols = (ipxint)N.ptr.size() - 1;
-    for (ipxint j = 0; j < ncols; j++) {
-        const ipxint begin = N.ptr[j], end = N.ptr[j + 1];
-        double d = 0.0;
-        for (ipxint p = begin; p < end; p++)
-            d += w[N.idx[p]] * N.val[p];
-        if (d != 0.0)
+    const ipxint* Np = lu.Nptr.data();
+    const int32_t* Ni = lu.Nidx.data();
+    const double* Nx = lu.Nval.data();
+    const ipxint ncols = (ipxint)lu.Nptr.size() - 1;
+#ifdef _OPENMP
+    if (ncols >= 0 && Np[ncols] >= (ipxint)1 << 17
+        && omp_get_max_threads() > 1) {
+        static std::vector<std::vector<double>> accs;
+        int NT = omp_get_max_threads();
+        if ((int)accs.size() < NT) accs.resize(NT);
+#pragma omp parallel num_threads(NT)
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            auto& mine = accs[tid];
+            if ((ipxint)mine.size() < m) mine.resize(m);
+            std::fill(mine.begin(), mine.begin() + m, 0.0);
+            double* a = mine.data();
+            const ipxint nnz = Np[ncols];
+            ipxint lo = (ipxint)(std::lower_bound(
+                Np, Np + ncols + 1, nnz * tid / nt) - Np);
+            ipxint hi = (ipxint)(std::lower_bound(
+                Np, Np + ncols + 1, nnz * (tid + 1) / nt) - Np);
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = ncols;
+            for (ipxint j = lo; j < hi; j++) {
+                const ipxint begin = Np[j], end = Np[j + 1];
+                double d = 0.0;
+                for (ipxint p = begin; p < end; p++)
+                    d += w[Ni[p]] * Nx[p];
+                if (d != 0.0)
+                    for (ipxint p = begin; p < end; p++)
+                        a[Ni[p]] += d * Nx[p];
+            }
+#pragma omp barrier
+            ipxint rlo = m * (ipxint)tid / nt;
+            ipxint rhi = m * ((ipxint)tid + 1) / nt;
+            for (ipxint i = rlo; i < rhi; i++) {
+                double v = 0.0;
+                for (int t = 0; t < nt; t++)
+                    v += accs[t][i];
+                lhs[i] = v;
+            }
+        }
+    } else
+#endif
+    {
+        std::fill(lhs, lhs + m, 0.0);
+        for (ipxint j = 0; j < ncols; j++) {
+            const ipxint begin = Np[j], end = Np[j + 1];
+            double d = 0.0;
             for (ipxint p = begin; p < end; p++)
-                lhs[N.idx[p]] += d * N.val[p];
+                d += w[Ni[p]] * Nx[p];
+            if (d != 0.0)
+                for (ipxint p = begin; p < end; p++)
+                    lhs[Ni[p]] += d * Nx[p];
+        }
     }
     lu.t_NNt += now_monotonic_s() - t0;
 
@@ -1562,6 +1612,34 @@ void ipxlu_ai_mul(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
         if (v != 0.0)
             for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
                 out[Ai[p]] += v * Ax[p];
+    }
+}
+
+// Per-slice maxvolume column weights, fused: given the slice BTRAN solution
+// w, colweights[j] = (A[:,j]' w) * cs[j] for structural j with cs != 0,
+// w[i] * cs[n+i] for slacks, 0 where cs == 0 (one pass instead of
+// AIt_mul + masked multiply; reference: src/maxvolume.cc:155-199).
+void ipxlu_maxvol_weights(ipxint m, ipxint n, const ipxint* Ap,
+                          const int32_t* Ai, const double* Ax,
+                          const double* w, const double* cs,
+                          double* colweights) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (Ap[n] >= (ipxint)1 << 17)
+#endif
+    for (ipxint j = 0; j < n; j++) {
+        double s = cs[j];
+        if (s == 0.0) {
+            colweights[j] = 0.0;
+            continue;
+        }
+        double d = 0.0;
+        for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+            d += w[Ai[p]] * Ax[p];
+        colweights[j] = d * s;
+    }
+    for (ipxint i = 0; i < m; i++) {
+        double s = cs[n + i];
+        colweights[n + i] = (s == 0.0) ? 0.0 : w[i] * s;
     }
 }
 
@@ -2455,15 +2533,15 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
 // space, columns already scaled by the caller), the basic column scales and
 // the BASIC_FREE positions. Requires fresh factors (no etas).
 void ipxlu_splitted_prepare(void* h, ipxint ncols, const ipxint* Np,
-                            const ipxint* Ni, const double* Nx,
+                            const int32_t* Ni, const double* Nx,
                             const double* uscale, ipxint nfree,
                             const ipxint* freepos) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     const ipxint m = lu.m;
     const ipxint nnz = Np[ncols];
-    lu.Nmat.ptr.assign(Np, Np + ncols + 1);
-    lu.Nmat.idx.assign(Ni, Ni + nnz);
-    lu.Nmat.val.assign(Nx, Nx + nnz);
+    lu.Nptr.assign(Np, Np + ncols + 1);
+    lu.Nidx.assign(Ni, Ni + nnz);
+    lu.Nval.assign(Nx, Nx + nnz);
     lu.uscale.assign(uscale, uscale + m);
     lu.freepos.assign(freepos, freepos + nfree);
     lu.s_w.assign(m, 0.0);
