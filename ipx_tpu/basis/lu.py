@@ -333,23 +333,27 @@ def _solve_buffers(lhs, lu):
 
 
 class DenseLu(LuUpdate):
-    """Dense numpy fallback with identical semantics (small problems and
-    differential testing only)."""
+    """Dense numpy fallback with the SAME factorization contract as the
+    native kernel (small problems and differential testing only):
+    B[rowperm, colperm] = (L+I)U in position space, dependent columns
+    replaced by unit columns paired with the leftover (free) rows, so that
+    the patched basis column is exactly the slack of that row
+    (reference contract: src/lu_update.h:43-60)."""
 
     def __init__(self, dim: int):
         super().__init__(dim)
         self.B = None
         self.etas: List[Tuple[int, np.ndarray, float]] = []
-        self._lu = None
-        self._piv = None
+        self._Lpos = None          # strictly lower, unit diag implicit
+        self._Upos = None          # upper including diagonal
+        self._rowperm = None
+        self._colperm = None
         self._dep: np.ndarray = np.empty(0, dtype=np.int64)
-        self._perm: Optional[np.ndarray] = None
         self._ftran_sol = None
         self._btran_pos = -1
         self._bnnz = 1
 
     def _factorize(self, Bbegin, Bend, Bi, Bx, strict_abs) -> int:
-        import scipy.linalg as sla
         m = self.dim
         B = np.zeros((m, m))
         Bi = np.asarray(Bi)
@@ -361,27 +365,63 @@ class DenseLu(LuUpdate):
         self.etas = []
         self._ftran_sol = None
         self._btran_pos = -1
-        # rank-revealing via QR-ish: use LU with partial pivot; detect tiny
-        # pivots and patch with unit columns
+
+        # Right-looking elimination with partial (magnitude) pivoting over
+        # the fixed column order; columns whose largest active entry is
+        # below the absolute tolerance are left unpivoted (dependent), like
+        # the native kernel's rank detection.
         abstol = 1e-3 if strict_abs else 1e-14
-        lu, piv = sla.lu_factor(B, check_finite=False)
-        diag = np.abs(np.diag(lu))
-        dep = np.nonzero(diag <= abstol * max(1.0, diag.max(initial=1.0)
-                                              if strict_abs else 1.0))[0]
+        act = B.copy()
+        rowfree = np.ones(m, dtype=bool)
+        colpiv = np.zeros(m, dtype=bool)
+        rowperm: List[int] = []
+        colperm: List[int] = []
+        pivots: List[float] = []
+        Lcols: List[np.ndarray] = []      # multipliers, original row space
+        Urows: List[np.ndarray] = []      # pivot-row values, original cols
+        for j in range(m):
+            v = act[:, j]
+            vm = np.where(rowfree, np.abs(v), -1.0)
+            r = int(np.argmax(vm)) if m else 0
+            if m == 0 or vm[r] <= abstol:
+                continue                     # dependent (for now)
+            piv = float(v[r])
+            rowperm.append(r)
+            colperm.append(j)
+            pivots.append(piv)
+            rowfree[r] = False
+            colpiv[j] = True
+            mult = np.where(rowfree, v / piv, 0.0)
+            rowvals = act[r, :].copy()
+            rem = ~colpiv
+            act -= np.outer(mult, np.where(rem, rowvals, 0.0))
+            Lcols.append(mult)
+            Urows.append(rowvals)
+        rank = len(rowperm)
         status = 0
-        if dep.size:
+        dep = np.arange(rank, m, dtype=np.int64)
+        if rank < m:
             status |= 2
-            # patch: replace dependent columns (in pivot order) by building a
-            # corrected dense matrix with unit columns and refactorize
-            Bp = B.copy()
-            # column k in pivot order ~ column k (scipy permutes rows only)
-            for k in dep:
-                Bp[:, k] = 0.0
-            # set unit entries at unpivoted rows
-            lu2, piv2 = sla.lu_factor(Bp + _patch_matrix(Bp, dep),
-                                      check_finite=False)
-            lu, piv = lu2, piv2
-        self._lu, self._piv = lu, piv
+            rowperm += [int(i) for i in np.nonzero(rowfree)[0]]
+            colperm += [int(j) for j in np.nonzero(~colpiv)[0]]
+
+        rowperm = np.array(rowperm, dtype=np.int64)
+        colperm = np.array(colperm, dtype=np.int64)
+
+        # position-space factors; dependent columns are exactly e_k
+        L = np.zeros((m, m))
+        U = np.zeros((m, m))
+        for k in range(rank):
+            L[:, k] = Lcols[k][rowperm]      # rows already pivoted are 0
+            U[k, k] = pivots[k]
+            if k + 1 < rank:
+                U[k, k + 1:rank] = Urows[k][colperm[k + 1:rank]]
+        for k in range(rank, m):
+            U[k, k] = 1.0
+        self._Lpos = L
+        self._Upos = U
+        self._rowperm = rowperm
+        self._colperm = colperm
         self._dep = dep
         self.B = B
         if not self.stability_check(Bbegin, Bend, Bi, Bx):
@@ -389,28 +429,32 @@ class DenseLu(LuUpdate):
         return status
 
     def get_factors(self):
-        import scipy.linalg as sla
-        m = self.dim
-        # reconstruct explicit P B = L U
-        L = np.tril(self._lu, -1)
-        U = np.triu(self._lu)
-        perm = np.arange(m)
-        for k, pk in enumerate(self._piv):
-            perm[[k, pk]] = perm[[pk, k]]
-        rowperm = perm
-        colperm = np.arange(m)
-        return (sp.csc_matrix(L), sp.csc_matrix(U), rowperm, colperm,
-                self._dep)
+        return (sp.csc_matrix(np.tril(self._Lpos, -1)),
+                sp.csc_matrix(np.triu(self._Upos)),
+                self._rowperm, self._colperm, self._dep)
 
     def solve_dense(self, rhs, trans):
         import scipy.linalg as sla
+        m = self.dim
         if trans:
-            x = rhs.copy().astype(float)
+            x = np.asarray(rhs, dtype=float).copy()
             for pos, w, wd in reversed(self.etas):
                 x[pos] = (x[pos] - w @ x + w[pos] * x[pos]) / wd
-            return sla.lu_solve((self._lu, self._piv), x, trans=1,
-                                check_finite=False)
-        x = sla.lu_solve((self._lu, self._piv), rhs, check_finite=False)
+            w_ = x[self._colperm]
+            w_ = sla.solve_triangular(self._Upos, w_, lower=False, trans=1,
+                                      check_finite=False)
+            w_ = sla.solve_triangular(self._Lpos, w_, lower=True, trans=1,
+                                      unit_diagonal=True, check_finite=False)
+            out = np.empty(m)
+            out[self._rowperm] = w_
+            return out
+        w_ = np.asarray(rhs, dtype=float)[self._rowperm]
+        w_ = sla.solve_triangular(self._Lpos, w_, lower=True,
+                                  unit_diagonal=True, check_finite=False)
+        w_ = sla.solve_triangular(self._Upos, w_, lower=False,
+                                  check_finite=False)
+        x = np.empty(m)
+        x[self._colperm] = w_
         for pos, w, wd in self.etas:
             xp = x[pos] / wd
             x -= w * xp
@@ -419,11 +463,20 @@ class DenseLu(LuUpdate):
 
     def tri_solve(self, x: np.ndarray, which: int) -> np.ndarray:
         import scipy.linalg as sla
-        lower = which in (0, 2)
-        trans = 1 if which in (2, 3) else 0
-        return sla.solve_triangular(self._lu, np.asarray(x, dtype=float),
-                                    lower=lower, trans=trans,
-                                    unit_diagonal=lower, check_finite=False)
+        x = np.asarray(x, dtype=float)
+        if which == 0:
+            return sla.solve_triangular(self._Lpos, x, lower=True,
+                                        unit_diagonal=True,
+                                        check_finite=False)
+        if which == 1:
+            return sla.solve_triangular(self._Upos, x, lower=False,
+                                        check_finite=False)
+        if which == 2:
+            return sla.solve_triangular(self._Lpos, x, lower=True, trans=1,
+                                        unit_diagonal=True,
+                                        check_finite=False)
+        return sla.solve_triangular(self._Upos, x, lower=False, trans=1,
+                                    check_finite=False)
 
     def ftran_for_update(self, bi, bx, lhs=None):
         b = np.zeros(self.dim)
@@ -462,29 +515,8 @@ class DenseLu(LuUpdate):
         return len(self.etas) >= max(20, self.dim)
 
     def fill_factor(self) -> float:
-        return float(np.count_nonzero(self._lu)) / self._bnnz
-
-
-def _patch_matrix(Bp, dep):
-    """unit entries for patched dependent columns at rows with zero pivots"""
-    m = Bp.shape[0]
-    M = np.zeros((m, m))
-    # choose rows not covered by remaining columns: approximate by leftmost
-    # zero rows of Bp
-    used_rows = set()
-    for k in dep:
-        for r in range(m):
-            if r not in used_rows and np.all(Bp[r, :] == 0.0):
-                M[r, k] = 1.0
-                used_rows.add(r)
-                break
-        else:
-            for r in range(m):
-                if r not in used_rows:
-                    M[r, k] = 1.0
-                    used_rows.add(r)
-                    break
-    return M
+        return float(np.count_nonzero(self._Lpos)
+                     + np.count_nonzero(self._Upos)) / self._bnnz
 
 
 def make_lu(dim: int, kind: str = "native") -> LuUpdate:
