@@ -542,6 +542,72 @@ class Basis:
             self.control.debug(
                 f" basis repair: |pivot| = {abs(pivot):.2e}\n", 3)
 
+    def _run_pivot_native(self, info: Info, remaining, call, label: str):
+        """Chunked driver for the native starting-basis pivot loops.
+        Returns (dependent, inconsistent, updates, stability_pivots) or
+        None when the native kernel is unavailable."""
+        from .crossover import _xover_native_ctx
+        ctx = _xover_native_ctx(self)
+        if ctx is None:
+            return None
+        import time as _t
+        lib, handle = ctx
+        if not hasattr(lib, "_pivot_ready"):
+            import ctypes as ct
+            I = ct.c_int64
+            D = ct.c_double
+            P_ = ct.c_void_p
+            IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            tail = [D, IA, IA, D, IA, IA, IA, DA, DA, I, IA]
+            lib.ipxlu_pivot_free_in.restype = I
+            lib.ipxlu_pivot_free_in.argtypes = [P_, IA, IA, DA, DA] + tail
+            lib.ipxlu_pivot_fixed_out.restype = I
+            lib.ipxlu_pivot_fixed_out.argtypes = [P_, IA, IA, DA, DA] + tail
+            lib._pivot_ready = True
+        m, n = self.model.num_rows, self.model.num_cols
+        stack = np.zeros(n + m, dtype=np.int64)
+        stack[:len(remaining)] = remaining
+        nstack = np.array([len(remaining)], dtype=np.int64)
+        fresh = np.array([1 if self.factorization_is_fresh else 0],
+                         dtype=np.int64)
+        flags = np.zeros(4, dtype=np.int64)
+        ic = np.zeros(8, dtype=np.int64)
+        dc = np.zeros(4, dtype=np.float64)
+        fills = np.zeros(256, dtype=np.float64)
+        nfills = np.zeros(1, dtype=np.int64)
+        st = dict(stack=stack, nstack=nstack, fresh=fresh, flags=flags,
+                  ic=ic, dc=dc, fills=fills, cap=256, nfills=nfills)
+        while True:
+            ret = int(call(lib, handle, _t.monotonic() + 1.0, st))
+            self.fill_factors.extend(fills[:int(nfills[0])].tolist())
+            if ret == 3:
+                self.control.interval_log(
+                    f" {int(nstack[0])} {label} variables remaining\n")
+                try:
+                    self.control.interrupt_check()
+                except Exception:
+                    info.errflag = int(Errflag.INTERRUPT_TIME)
+                    break
+                continue
+            if ret != 0:
+                info.errflag = int(ret)
+            break
+        self.num_ftran += int(ic[2])
+        self.num_ftran_sparse += int(ic[3])
+        self.num_btran += int(ic[4])
+        self.num_btran_sparse += int(ic[5])
+        self.num_updates += int(ic[6])
+        self.num_factorizations += int(ic[7])
+        self.time_ftran += float(dc[0])
+        self.time_btran += float(dc[1])
+        self.time_update += float(dc[2])
+        self.time_factorize += float(dc[3])
+        self.factorization_is_fresh = bool(fresh[0])
+        self.lu._pivottol = float(
+            self.lu.lib.ipxlu_get_pivottol(self.lu.handle))
+        return int(flags[0]), int(flags[1]), int(flags[2]), int(flags[3])
+
     def pivot_free_variables_into_basis(self, colweights: np.ndarray,
                                         info: Info) -> None:
         """reference: src/basis.cc:676-781"""
@@ -560,6 +626,25 @@ class Basis:
             + f"{len(remaining)}\n")
 
         self.control.reset_print_interval()
+        cw = np.ascontiguousarray(colweights, dtype=np.float64)
+        c_ = np.ascontiguousarray(md.c, dtype=np.float64)
+        out = self._run_pivot_native(
+            info, remaining,
+            lambda lib, handle, pause, st: lib.ipxlu_pivot_free_in(
+                handle, self.basis, self.map2basis, cw, c_,
+                dependency_tol, st["stack"], st["nstack"], pause,
+                st["fresh"], st["flags"], st["ic"], st["dc"],
+                st["fills"], st["cap"], st["nfills"]), "free")
+        if out is not None:
+            dep, inconsistent, updates, stab = out
+            info.dependent_cols = dep
+            if inconsistent:
+                info.cols_inconsistent = 1
+            info.updates_start += updates
+            self.control.debug(
+                Control.textline("Number of free variables swapped for "
+                                 "stability:") + f"{stab}\n")
+            return
         while remaining:
             jn = remaining[-1]
             try:
@@ -660,6 +745,25 @@ class Basis:
             + f"{len(remaining)}\n")
 
         self.control.reset_print_interval()
+        cw = np.ascontiguousarray(colweights, dtype=np.float64)
+        bmf = np.ascontiguousarray(b_minus_fixed, dtype=np.float64)
+        out = self._run_pivot_native(
+            info, remaining,
+            lambda lib, handle, pause, st: lib.ipxlu_pivot_fixed_out(
+                handle, self.basis, self.map2basis, cw, bmf,
+                dependency_tol, st["stack"], st["nstack"], pause,
+                st["fresh"], st["flags"], st["ic"], st["dc"],
+                st["fills"], st["cap"], st["nfills"]), "fixed")
+        if out is not None:
+            dep, inconsistent, updates, stab = out
+            info.dependent_rows = dep
+            if inconsistent:
+                info.rows_inconsistent = 1
+            info.updates_start += updates
+            self.control.debug(
+                Control.textline("Number of fixed variables swapped for "
+                                 "stability:") + f"{stab}\n")
+            return
         while remaining:
             jb = remaining[-1]
             try:

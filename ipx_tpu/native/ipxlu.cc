@@ -2367,6 +2367,197 @@ ipxint ipxlu_drop_dual(void* h, ipxint* basis, ipxint* map2basis,
 }
 
 // ---------------------------------------------------------------------
+// Native starting-basis pivot loops (counterpart of reference:
+// src/basis.cc:676-781 PivotFreeVariablesIntoBasis and :783-914
+// PivotFixedVariablesOutOfBasis): LIFO candidate stacks with stability
+// swaps, dependency detection and infeasibility-certificate (ray) tests.
+// The caller owns the stack array (capacity n+m) so pauses can resume.
+// flags_out: [0] += dependent count, [1] |= inconsistent, [2] += updates,
+// [3] += stability pivots.
+// ---------------------------------------------------------------------
+
+ipxint ipxlu_pivot_free_in(void* h, ipxint* basis, ipxint* map2basis,
+                           const double* colweights, const double* c,
+                           double dependency_tol, ipxint* stack,
+                           ipxint* nstack, double pause_abs_s,
+                           ipxint* fresh, ipxint* flags_out,
+                           ipxint* icounts, double* dcounts, double* fills,
+                           ipxint fills_cap, ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    XoverCounts cc;
+    cc.fills = fills;
+    cc.fills_cap = fills_cap;
+    double* ft = lu.xw_ft.data();
+    ipxint* ftpat = lu.xw_ftpat.data();
+    const double inf = std::numeric_limits<double>::infinity();
+    ipxint ret = 0;
+    while (*nstack > 0) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        ipxint jn = stack[*nstack - 1];
+        ipxint fnz = ftran_col_for_update(lu, jn, cc, true);
+        double fmax = 0.0, fmax_nonfree = 0.0;
+        ipxint pmax = -1, pmax_nonfree = -1;
+        auto score = [&](ipxint p, double piv) {
+            double a = std::fabs(piv);
+            if (a == 0.0) return;
+            if (a > fmax) { fmax = a; pmax = p; }
+            if (colweights[basis[p]] != inf && a > fmax_nonfree) {
+                fmax_nonfree = a;
+                pmax_nonfree = p;
+            }
+        };
+        if (fnz >= 0)
+            for (ipxint t = 0; t < fnz; t++) score(ftpat[t], ft[ftpat[t]]);
+        else
+            for (ipxint p = 0; p < m; p++)
+                if (ft[p] != 0.0) score(p, ft[p]);
+
+        if (fmax > 4.0 && fmax_nonfree < 1.0) {
+            ipxint jb = basis[pmax];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         ft[pmax], -1, fresh, cc);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            stack[*nstack - 1] = jb;       // pop jn, push jb
+            flags_out[2]++;
+            flags_out[3]++;
+        } else if (fmax_nonfree <= dependency_tol) {
+            // dependent column: unbounded-primal-ray objective test
+            if (!flags_out[1]) {
+                double delta = c[jn];
+                auto add = [&](ipxint p, double piv) {
+                    ipxint bv = basis[p];
+                    if (colweights[bv] == inf)
+                        delta -= c[bv] * piv;
+                };
+                if (fnz >= 0)
+                    for (ipxint t = 0; t < fnz; t++)
+                        add(ftpat[t], ft[ftpat[t]]);
+                else
+                    for (ipxint p = 0; p < m; p++)
+                        if (ft[p] != 0.0) add(p, ft[p]);
+                if (std::fabs(delta) > dependency_tol)
+                    flags_out[1] = 1;
+            }
+            flags_out[0]++;
+            (*nstack)--;
+        } else {
+            ipxint jb = basis[pmax_nonfree];
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         ft[pmax_nonfree], -1, fresh, cc);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            flags_out[2]++;
+            (*nstack)--;
+        }
+    }
+    cc.flush(icounts, dcounts, nfills);
+    return ret;
+}
+
+ipxint ipxlu_pivot_fixed_out(void* h, ipxint* basis, ipxint* map2basis,
+                             const double* colweights,
+                             const double* b_minus_fixed,
+                             double dependency_tol, ipxint* stack,
+                             ipxint* nstack, double pause_abs_s,
+                             ipxint* fresh, ipxint* flags_out,
+                             ipxint* icounts, double* dcounts,
+                             double* fills, ipxint fills_cap,
+                             ipxint* nfills) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m, n = lu.mb_n;
+    XoverCounts cc;
+    cc.fills = fills;
+    cc.fills_cap = fills_cap;
+    double* bt = lu.xw_bt.data();
+    ipxint* btpat = lu.xw_btpat.data();
+    double* row = lu.xw_row.data();
+    ipxint* rowpat = lu.xw_rowpat.data();
+    ipxint ret = 0;
+    while (*nstack > 0) {
+        if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
+        ipxint jb = stack[*nstack - 1];
+        ipxint mp = map2basis[jb];
+        ipxint pos = mp >= m ? mp - m : mp;
+        ipxint bnz;
+        ipxint rnz = tableau_row_native(lu, map2basis, pos, 0, bt, btpat,
+                                        &bnz, row, rowpat, cc);
+        double rmax = 0.0, rmax_nonfixed = 0.0;
+        ipxint jmax = -1, jmax_nonfixed = -1;
+        auto score = [&](ipxint j, double piv) {
+            double a = std::fabs(piv);
+            if (a == 0.0) return;
+            bool nonfixed = colweights[j] != 0.0;
+            if ((j >= n || nonfixed) && a > rmax) { rmax = a; jmax = j; }
+            if (nonfixed && a > rmax_nonfixed) {
+                rmax_nonfixed = a;
+                jmax_nonfixed = j;
+            }
+        };
+        if (rnz >= 0)
+            for (ipxint t = 0; t < rnz; t++) score(rowpat[t], row[rowpat[t]]);
+        else
+            for (ipxint j = 0; j < n + m; j++)
+                if (row[j] != 0.0) score(j, row[j]);
+
+        if (rmax > 4.0 && rmax_nonfixed < 1.0) {
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jmax,
+                                         row[jmax], +1, fresh, cc);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            stack[*nstack - 1] = jmax;     // pop jb, push jmax
+            flags_out[2]++;
+            flags_out[3]++;
+        } else if (rmax_nonfixed <= dependency_tol) {
+            // dependent row: unbounded-dual-ray objective test
+            if (!flags_out[1]) {
+                double delta = 0.0;
+                if (bnz >= 0)
+                    for (ipxint t = 0; t < bnz; t++)
+                        delta += bt[btpat[t]] * b_minus_fixed[btpat[t]];
+                else
+                    for (ipxint i = 0; i < m; i++)
+                        delta += bt[i] * b_minus_fixed[i];
+                if (std::fabs(delta) > dependency_tol)
+                    flags_out[1] = 1;
+            }
+            flags_out[0]++;
+            (*nstack)--;
+        } else {
+            // stable pivot maximizing basis volume
+            double best = -1.0;
+            ipxint jpick = -1;
+            auto pick = [&](ipxint j, double piv) {
+                double a = std::fabs(piv);
+                if (a < 0.1 * rmax_nonfixed) return;
+                double sc = a * colweights[j];
+                if (sc > best) { best = sc; jpick = j; }
+            };
+            if (rnz >= 0)
+                for (ipxint t = 0; t < rnz; t++)
+                    pick(rowpat[t], row[rowpat[t]]);
+            else
+                for (ipxint j = 0; j < n + m; j++)
+                    if (row[j] != 0.0) pick(j, row[j]);
+            if (jpick < 0) {               // defensive; cannot happen since
+                flags_out[0]++;            // jmax_nonfixed qualifies
+                (*nstack)--;
+                continue;
+            }
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jpick,
+                                         row[jpick], +1, fresh, cc);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            flags_out[2]++;
+            (*nstack)--;
+        }
+    }
+    cc.flush(icounts, dcounts, nfills);
+    return ret;
+}
+
+// ---------------------------------------------------------------------
 // Native maxvolume heuristic slice driver (counterpart of reference:
 // src/maxvolume.cc:202-320): given per-slice column weights (one dense
 // BTRAN + SpMV, computed by the caller), repeatedly exchange the nonbasic
