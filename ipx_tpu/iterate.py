@@ -242,10 +242,49 @@ class Iterate:
     def _evaluate(self) -> None:
         if self._evaluated:
             return
-        self._compute_residuals()
-        self._compute_objectives()
-        self._compute_complementarity()
+        if _VK is not None:
+            self._evaluate_native()
+        else:
+            self._compute_residuals()
+            self._compute_objectives()
+            self._compute_complementarity()
         self._evaluated = True
+
+    def _evaluate_native(self) -> None:
+        """Single fused pass over the iterate (ipxlu_iterate_eval) for
+        residuals, objectives and complementarity."""
+        md = self.model
+        self._rb = md.b - md.AI_mul(self.x)
+        aty = md.AIt_mul(self.y)
+        self._aty = aty
+        rl, ru, rc, s = _VK.iterate_eval(
+            self.state, self.postprocessed, self.x, self.xl, self.xu,
+            self.zl, self.zu, md.lb, md.ub, md.c, aty)
+        self._rl = rl
+        self._ru = ru
+        self._rc = rc
+        rbnorm = float(np.max(np.abs(self._rb))) if self._rb.size else 0.0
+        self._presidual = max(rbnorm, float(s[0]))
+        self._dresidual = float(s[1])
+        if self.postprocessed:
+            self._offset = 0.0
+            self._pobjective = float(s[2])
+            self._dobjective = float(md.b @ self.y) + float(s[5]) \
+                - float(s[6])
+        else:
+            self._pobjective = float(s[2]) - float(s[4])
+            self._offset = float(s[3]) + float(s[4])
+            self._dobjective = float(md.b @ self.y) + float(s[5]) \
+                - float(s[6]) - float(s[7])
+        count = s[11]
+        if count > 0:
+            self._complementarity = float(s[8])
+            self._mu = float(s[8]) / count
+            self._mu_min = float(s[9])
+            self._mu_max = float(s[10])
+        else:
+            self._complementarity = 0.0
+            self._mu = self._mu_min = self._mu_max = 0.0
 
     def _compute_residuals(self) -> None:
         """reference: src/iterate.cc:536-589"""

@@ -2912,6 +2912,82 @@ void ipxlu_compl_products(ipxint nm, const int8_t* state, const double* xl,
     *count_out = count;
 }
 
+// Fused lazy-evaluation pass of the iterate: bound residuals rl/ru, dual
+// residual rc, objective and complementarity aggregates in ONE sweep
+// (reference: src/iterate.cc:536-672). Scalars out (length 12):
+// [0] max(|rl|,|ru|), [1] max|rc|, [2] sum c*x (pobj part), [3] offset
+// (fixed part), [4] sum (zl-zu)*x over implied, [5] sum lb*zl (dual obj),
+// [6] sum ub*zu, [7] sum x*aty over fixed, [8] comp sum, [9] comp min,
+// [10] comp max, [11] comp count.
+void ipxlu_iterate_eval(ipxint nm, const int8_t* state, ipxint postproc,
+                        const double* x, const double* xl, const double* xu,
+                        const double* zl, const double* zu,
+                        const double* lb, const double* ub, const double* c,
+                        const double* aty, double* rl, double* ru,
+                        double* rc, double* scal) {
+    double pres = 0.0, dres = 0.0, pobj = 0.0, offset = 0.0, zximp = 0.0;
+    double dlb = 0.0, dub = 0.0, dfix = 0.0;
+    double csum = 0.0, cmin = std::numeric_limits<double>::infinity();
+    double cmax = 0.0;
+    ipxint ccount = 0;
+    for (ipxint j = 0; j < nm; j++) {
+        int8_t s = state[j];
+        bool blb = st_blb(s), bub = st_bub(s);
+        double rlj = blb ? lb[j] - x[j] + xl[j] : 0.0;
+        double ruj = bub ? ub[j] - x[j] - xu[j] : 0.0;
+        rl[j] = rlj;
+        ru[j] = ruj;
+        pres = std::max(pres, std::fabs(rlj));
+        pres = std::max(pres, std::fabs(ruj));
+        double rcj = c[j] - aty[j] - zl[j] + zu[j];
+        if (!postproc && s == 4) rcj = 0.0;
+        rc[j] = rcj;
+        dres = std::max(dres, std::fabs(rcj));
+        double cx = c[j] * x[j];
+        if (postproc) {
+            pobj += cx;
+            if (std::isfinite(lb[j])) dlb += lb[j] * zl[j];
+            if (std::isfinite(ub[j])) dub += ub[j] * zu[j];
+        } else {
+            if (s == 4) {
+                offset += cx;
+                dfix += x[j] * aty[j];
+            } else {
+                pobj += cx;
+            }
+            if (s >= 5) zximp += (zl[j] - zu[j]) * x[j];
+            if (blb) dlb += lb[j] * zl[j];
+            if (bub) dub += ub[j] * zu[j];
+        }
+        if (blb) {
+            double p = xl[j] * zl[j];
+            csum += p;
+            if (p < cmin) cmin = p;
+            if (p > cmax) cmax = p;
+            ccount++;
+        }
+        if (bub) {
+            double p = xu[j] * zu[j];
+            csum += p;
+            if (p < cmin) cmin = p;
+            if (p > cmax) cmax = p;
+            ccount++;
+        }
+    }
+    scal[0] = pres;
+    scal[1] = dres;
+    scal[2] = pobj;
+    scal[3] = offset;
+    scal[4] = zximp;
+    scal[5] = dlb;
+    scal[6] = dub;
+    scal[7] = dfix;
+    scal[8] = csum;
+    scal[9] = ccount ? cmin : 0.0;
+    scal[10] = ccount ? cmax : 0.0;
+    scal[11] = (double)ccount;
+}
+
 // Masked iterate step with clamping at kBarrierMin = 1e-30
 // (reference: src/iterate.cc:96-139).
 void ipxlu_iterate_update(ipxint nm, const int8_t* state, double sp,

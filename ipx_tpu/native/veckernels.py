@@ -39,6 +39,7 @@ def _get() -> Optional[ctypes.CDLL]:
                                   ctypes.POINTER(I)]
         lib.ipxlu_iterate_update.argtypes = \
             [I, SA, D, D] + [DA] * 10
+        lib.ipxlu_iterate_eval.argtypes = [I, SA, I] + [DA] * 13
         _lib = lib
     except Exception:
         _failed = True
@@ -101,3 +102,17 @@ def iterate_update(state, sp, sd, x, xl, xu, zl, zu, dx, dxl, dxu, dzl, dzu
     lib = _get()
     lib.ipxlu_iterate_update(state.shape[0], state, sp, sd, x, xl, xu, zl,
                              zu, _c(dx), _c(dxl), _c(dxu), _c(dzl), _c(dzu))
+
+
+def iterate_eval(state, postproc, x, xl, xu, zl, zu, lb, ub, c, aty):
+    """Returns (rl, ru, rc, scalars[12]) — see ipxlu_iterate_eval."""
+    lib = _get()
+    nm = state.shape[0]
+    rl = np.empty(nm)
+    ru = np.empty(nm)
+    rc = np.empty(nm)
+    scal = np.zeros(12)
+    lib.ipxlu_iterate_eval(nm, state, int(postproc), _c(x), _c(xl), _c(xu),
+                           _c(zl), _c(zu), _c(lb), _c(ub), _c(c), _c(aty),
+                           rl, ru, rc, scal)
+    return rl, ru, rc, scal
