@@ -398,3 +398,95 @@ def _step_batch(jax, X, DX, fin):
     cand = jnp.where(fin & (DX < 0.0) & jnp.isfinite(X),
                      -(X * damp) / DX, INF)
     return jnp.minimum(jnp.min(cand, axis=0), 1.0)
+
+
+class BatchedScenarioSolver:
+    """Full batched scenario solve to vertex solutions: the data-parallel
+    phase-1 IPM runs over all scenarios at once (device-batched), then each
+    scenario is finished by a warm-started full solve (basis-preconditioned
+    phase 2 + crossover) on host. The warm start skips the initial IPM
+    entirely (reference facility: src/lp_solver.cc:337-347, src/ipm.cc:
+    261-316); the batching itself has no reference counterpart (SURVEY §2.3
+    data-parallel analog).
+
+    data: user-form dict as accepted by testgen.load_into_solver
+    (num_var, num_constr, Ap, Ai, Ax, constr_type, lb, ub, plus default
+    obj/rhs); b_batch (B, m) per-scenario rhs; obj_batch (B, n) optional
+    per-scenario objectives (default: shared data["obj"]).
+    """
+
+    def __init__(self, data, b_batch, obj_batch=None, parameters=None,
+                 phase1_tol=1e-4, phase1_maxiter=100):
+        self.data = data
+        m, n = data["num_constr"], data["num_var"]
+        self.m, self.n = m, n
+        b_batch = np.asarray(b_batch, dtype=float)
+        assert b_batch.shape[1] == m
+        B = b_batch.shape[0]
+        if obj_batch is None:
+            obj_batch = np.repeat(np.asarray(data["obj"], dtype=float)
+                                  [None, :], B, axis=0)
+        obj_batch = np.asarray(obj_batch, dtype=float)
+        self.b_batch = b_batch
+        self.obj_batch = obj_batch
+        self.parameters = parameters
+        self.phase1_tol = phase1_tol
+        self.phase1_maxiter = phase1_maxiter
+
+        A = sp.csc_matrix((data["Ax"], data["Ai"], data["Ap"]),
+                          shape=(m, n))
+        ct = np.asarray(list(data["constr_type"]))
+        self._ct = ct
+        # slack bounds encode the constraint type, exactly as the presolver
+        # does (reference: src/presolver.cc:164-179)
+        lb = np.concatenate([np.asarray(data["lb"], dtype=float),
+                             np.where(ct == ">", -INF, 0.0)])
+        ub = np.concatenate([np.asarray(data["ub"], dtype=float),
+                             np.where(ct == "<", INF, 0.0)])
+        c = np.zeros((B, n + m))
+        c[:, :n] = obj_batch
+        self.blp = BatchedLp(A=A, b=b_batch, c=c, lb=lb, ub=ub)
+
+    def solve(self):
+        """Returns a list of per-scenario (status, info, solver)."""
+        from ..lp_solver import LpSolver
+        from ..parameters import Parameters
+
+        ph1 = BatchedPhase1Solver(self.blp,
+                                  feasibility_tol=self.phase1_tol,
+                                  optimality_tol=self.phase1_tol,
+                                  maxiter=self.phase1_maxiter)
+        out = ph1.solve()
+        m, n = self.m, self.n
+        d = self.data
+        ct = self._ct
+        results = []
+        for k in range(self.blp.batch):
+            import dataclasses as _dc
+            p = (_dc.replace(self.parameters) if self.parameters is not None
+                 else Parameters())
+            p.dualize = 0          # warm start is refused on dualized models
+            s = LpSolver(p)
+            rc = s.load_model(n, self.obj_batch[k], d["lb"], d["ub"], m,
+                              d["Ap"], d["Ai"], d["Ax"], self.b_batch[k],
+                              d["constr_type"])
+            assert rc == 0
+            x = out["X"][:n, k]
+            slack = out["X"][n:, k].copy()
+            # equality slacks must be exactly zero; dual signs projected
+            # (warm-start repair restores strict complementarity)
+            slack[ct == "="] = 0.0
+            slack[ct == "<"] = np.maximum(slack[ct == "<"], 0.0)
+            slack[ct == ">"] = np.minimum(slack[ct == ">"], 0.0)
+            y = out["Y"][:, k].copy()
+            y[ct == "<"] = np.minimum(y[ct == "<"], 0.0)
+            y[ct == ">"] = np.maximum(y[ct == ">"], 0.0)
+            rc = s.load_ipm_starting_point(
+                x, out["XL"][:n, k], out["XU"][:n, k], slack, y,
+                out["ZL"][:n, k], out["ZU"][:n, k])
+            if rc != 0:
+                # fall back to a cold solve if the point is rejected
+                s.clear_solution()
+            status = s.solve()
+            results.append((status, s.get_info(), s))
+        return results

@@ -7,6 +7,7 @@ from ipx_tpu import LpSolver, Parameters
 from ipx_tpu.parallel.batch import BatchedLp, BatchedPhase1Solver
 
 from lp_fixtures import random_lp
+from ipx_tpu.status import Status
 
 
 def make_batch(B=4, m=30, n=40, seed=0):
@@ -59,3 +60,35 @@ def test_batched_convergence_mask():
     assert bool(np.all(np.asarray(S["done"])))
     iters = np.asarray(S["iters"])
     assert np.all(iters > 0) and np.all(iters <= 60)
+
+
+def test_batched_scenario_full_solve():
+    """Batched phase-1 + warm-started host finish reaches the same optimal
+    vertex objectives as cold full solves."""
+    from ipx_tpu.parallel.batch import BatchedScenarioSolver
+
+    a = random_lp(25, 35, density=0.3, seed=11)
+    rng = np.random.default_rng(12)
+    B = 3
+    b_batch = a["rhs"][None, :] * rng.uniform(0.9, 1.1, size=(B, 25))
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    solver = BatchedScenarioSolver(a, b_batch, parameters=p)
+    results = solver.solve()
+    assert len(results) == B
+    for k, (status, info, s) in enumerate(results):
+        # cold reference solve
+        p2 = Parameters()
+        p2.display = 0
+        p2.device = "cpu"
+        s2 = LpSolver(p2)
+        assert s2.load_model(a["num_var"], a["obj"], a["lb"], a["ub"], 25,
+                             a["Ap"], a["Ai"], a["Ax"], b_batch[k],
+                             a["constr_type"]) == 0
+        st2 = s2.solve()
+        assert status == st2, f"scenario {k}"
+        if st2 == int(Status.SOLVED):
+            assert info.pobjval == pytest.approx(
+                s2.get_info().pobjval, rel=1e-7, abs=1e-7), f"scenario {k}"
+            assert info.status_crossover == 1
