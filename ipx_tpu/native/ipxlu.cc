@@ -281,14 +281,131 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     // Caps on the Markowitz search effort per pivot step.
     const ipxint kClassCap = 3;      // count classes examined per side
     const ipxint kColCap = 16;       // columns per class
-    const ipxint kRowCap = 8;        // rows per class
+    const ipxint kRowCap = 8;       // rows per class
 
     auto now_s2 = []() {
         return std::chrono::duration<double>(
             std::chrono::steady_clock::now().time_since_epoch()).count();
     };
+
+    // Dense-tail switch: when the active submatrix becomes dense enough,
+    // sparse elimination's per-entry bookkeeping dominates; finish with a
+    // contiguous dense partial-pivoting elimination (vectorizable axpys).
+    const ipxint kDenseTailMax = 2048;     // memory cap (r^2 doubles)
+    const double kDenseTailFrac = 0.20;    // active density trigger
+
     ipxint rank = 0;
     for (ipxint k = 0; k < m; k++) {
+        // check the dense-tail trigger periodically
+        if ((k & 63) == 0 && m - rank <= kDenseTailMax && rank > 0) {
+            ipxint r = 0;
+            ipxint act = 0;
+            for (ipxint j = 0; j < m; j++)
+                if (!colpivotal[j]) {
+                    r++;
+                    act += (ipxint)colrow[j].size();
+                }
+            if (r > 0 && act > kDenseTailFrac * (double)r * (double)r) {
+                double t0d = now_s2();
+                // gather remaining rows/cols
+                std::vector<ipxint> rrows, rcols;
+                rrows.reserve(r);
+                rcols.reserve(r);
+                for (ipxint i = 0; i < m; i++)
+                    if (!rowpivotal[i]) rrows.push_back(i);
+                for (ipxint j = 0; j < m; j++)
+                    if (!colpivotal[j]) rcols.push_back(j);
+                const ipxint nr = (ipxint)rrows.size();
+                const ipxint nc = (ipxint)rcols.size();
+                std::vector<ipxint> rowof(m, -1);
+                for (ipxint t = 0; t < nr; t++) rowof[rrows[t]] = t;
+                // dense block, column-major
+                std::vector<double> D((size_t)nr * nc, 0.0);
+                for (ipxint t = 0; t < nc; t++) {
+                    ipxint j = rcols[t];
+                    double* col = D.data() + (size_t)t * nr;
+                    for (size_t q = 0; q < colrow[j].size(); q++)
+                        col[rowof[colrow[j][q]]] = colval[j][q];
+                    colrow[j].clear();
+                    colval[j].clear();
+                }
+                // dense elimination with row swaps; dependent columns are
+                // swapped to the end of the active range
+                std::vector<ipxint> rmap(rrows);   // dense row -> original
+                ipxint width = nc;
+                ipxint t = 0;
+                while (t < width) {
+                    ipxint kk = rank;   // next factor position
+                    double* col = D.data() + (size_t)t * nr;
+                    // pivot row: max |entry| in rows t..nr-1... rows are
+                    // consumed top-down in step order (step index = t)
+                    ipxint step = t;
+                    double best = 0.0;
+                    ipxint pr = -1;
+                    for (ipxint i = step; i < nr; i++) {
+                        double a = std::fabs(col[i]);
+                        if (a > best) { best = a; pr = i; }
+                    }
+                    if (pr < 0 || best <= abstol) {
+                        // dependent: swap column to the end of the range
+                        width--;
+                        if (t != width) {
+                            double* last = D.data() + (size_t)width * nr;
+                            std::swap_ranges(col, col + nr, last);
+                            std::swap(rcols[t], rcols[width]);
+                        }
+                        continue;
+                    }
+                    // swap pivot row into position `step`
+                    if (pr != step) {
+                        for (ipxint q = t; q < nc; q++) {
+                            double* cq = D.data() + (size_t)q * nr;
+                            std::swap(cq[step], cq[pr]);
+                        }
+                        std::swap(rmap[step], rmap[pr]);
+                    }
+                    const double piv = col[step];
+                    const ipxint jorig = rcols[t];
+                    const ipxint rorig = rmap[step];
+                    lu.rowperm[kk] = rorig;
+                    lu.colperm[kk] = jorig;
+                    lu.rowperm_inv[rorig] = kk;
+                    lu.colperm_inv[jorig] = kk;
+                    lu.Udiag[kk] = piv;
+                    rowpivotal[rorig] = 1;
+                    colpivotal[jorig] = 1;
+                    clist.remove(jorig);
+                    rlist.remove(rorig);
+                    rank++;
+                    auto& Lr = Lrows[kk];
+                    auto& Lv = Lvals[kk];
+                    for (ipxint i = step + 1; i < nr; i++) {
+                        double v = col[i];
+                        if (v != 0.0) {
+                            Lr.push_back(rmap[i]);
+                            Lv.push_back(v / piv);
+                            col[i] = v / piv;   // keep multiplier in place
+                        }
+                    }
+                    auto& Uc = Ucols[kk];
+                    auto& Uv = Uvals[kk];
+                    // rank-1 update of the trailing block + record U row
+                    for (ipxint q = t + 1; q < width; q++) {
+                        double* cq = D.data() + (size_t)q * nr;
+                        double u = cq[step];
+                        if (u != 0.0) {
+                            Uc.push_back(rcols[q]);
+                            Uv.push_back(u);
+                            for (ipxint i = step + 1; i < nr; i++)
+                                cq[i] -= col[i] * u;
+                        }
+                    }
+                    t++;
+                }
+                lu.t_elim += now_s2() - t0d;
+                break;      // post-loop handles any remaining (dependent)
+            }
+        }
         double t0_ = now_s2();
         // ---- bidirectional Markowitz pivot search ----
         // Examine the smallest nonempty column AND row count classes
