@@ -11,6 +11,26 @@ followed by crossover to an optimal vertex basis.
 Public API mirrors the reference LpSolver (reference: src/lp_solver.h:19-190)
 plus a flat C-API-style function set in ipx_tpu.capi.
 """
+def _tune_malloc() -> None:
+    """Keep large allocations on the heap instead of per-allocation mmaps.
+
+    The solver's hot path creates O(n+m)-sized temporaries every call;
+    glibc serves those from mmap and returns them to the OS on free, so
+    every reuse pays fresh page faults + kernel zeroing (measured 200-800ms
+    per call of a ~25ms vector kernel at m=200k). Raising the mmap/trim
+    thresholds makes the heap retain and reuse the pages."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 from .info import Info
 from .lp_solver import LpSolver
 from .parameters import Parameters
