@@ -52,6 +52,8 @@ class KKTSolverDiag(KKTSolver):
         self._iters = 0
         self.factorized = False
         self._device_cr = None
+        self._nrm_handle = None     # explicit normal-matrix native handle
+        self._nrm_failed = False
 
     def _factorize(self, iterate, info: Info) -> None:
         md = self.model
@@ -114,10 +116,47 @@ class KKTSolverDiag(KKTSolver):
                 lib.ipxlu_cr_diag.argtypes = [I, I, IA, IA32, DA, DA, DA,
                                               DA, DA, D, I, D, DA,
                                               ct.POINTER(I)]
+                lib.ipxlu_nrm_new.restype = ct.c_void_p
+                lib.ipxlu_nrm_new.argtypes = [I, I, IA, IA32, DA, I]
+                lib.ipxlu_nrm_nnz.restype = I
+                lib.ipxlu_nrm_nnz.argtypes = [ct.c_void_p]
+                lib.ipxlu_nrm_values.restype = None
+                lib.ipxlu_nrm_values.argtypes = [ct.c_void_p, DA]
+                lib.ipxlu_nrm_free.restype = None
+                lib.ipxlu_nrm_free.argtypes = [ct.c_void_p]
+                lib.ipxlu_cr_diag_explicit.restype = I
+                lib.ipxlu_cr_diag_explicit.argtypes = [
+                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I)]
                 lib._cr_ready = True
             self._native_cr = (lib, Ap, Ai, Ax, ct)
+            self._prepare_explicit_normal(lib, Ap, Ai, Ax, ct)
         except Exception:
             self._native_cr = None
+
+    def _prepare_explicit_normal(self, lib, Ap, Ai, Ax, ct) -> None:
+        """Explicit S = AI W AI' in CSR, rebuilt numerically per factorize.
+
+        The weights are constant across a whole CR solve, so when fill(S)
+        is small a sequential CSR SpMV beats the one-pass gather/scatter
+        product per iteration. Symbolic build happens once per solver (the
+        pattern depends only on A); skipped when nnz(S) > 4 nnz(AI) or the
+        symbolic build failed once.
+        """
+        m, n = self.model.num_rows, self.model.num_cols
+        if self._nrm_handle is None and not self._nrm_failed:
+            import weakref
+            cap = 4 * (int(Ap[n]) + m)
+            ptr = lib.ipxlu_nrm_new(m, n, Ap, Ai, Ax, cap)
+            if not ptr:
+                self._nrm_failed = True
+                return
+            self._nrm_handle = ptr
+            # the handle borrows Ap/Ai/Ax; keep them alive with it
+            self._nrm_keepalive = (Ap, Ai, Ax)
+            self._nrm_finalizer = weakref.finalize(
+                self, lib.ipxlu_nrm_free, ptr)
+        if self._nrm_handle is not None:
+            lib.ipxlu_nrm_values(self._nrm_handle, self.W)
 
     def _prepare_device(self) -> None:
         """Set up the on-device CR solver when enabled."""
@@ -173,10 +212,16 @@ class KKTSolverDiag(KKTSolver):
                 deadline = _monotonic_s() + max(remaining, 0.0)
             iters = ct.c_int64(0)
             t0 = perf_counter()
-            err = int(lib.ipxlu_cr_diag(
-                m, n, Ap, Ai, Ax, self.W, self.precond.diagonal,
-                self.resscale, np.ascontiguousarray(rhs), tol,
-                self.maxiter, deadline, y, ct.byref(iters)))
+            if self._nrm_handle is not None:
+                err = int(lib.ipxlu_cr_diag_explicit(
+                    self._nrm_handle, self.precond.diagonal, self.resscale,
+                    np.ascontiguousarray(rhs), tol, self.maxiter, deadline,
+                    y, ct.byref(iters)))
+            else:
+                err = int(lib.ipxlu_cr_diag(
+                    m, n, Ap, Ai, Ax, self.W, self.precond.diagonal,
+                    self.resscale, np.ascontiguousarray(rhs), tol,
+                    self.maxiter, deadline, y, ct.byref(iters)))
             dt = perf_counter() - t0
             info.errflag = 999 if err == 999 else err
             info.kktiter1 += iters.value

@@ -1436,6 +1436,259 @@ static ipxint tableau_row_native(IpxLu& lu, const ipxint* map2basis,
     return -1;
 }
 
+// ---------------------------------------------------------------------
+// Explicit normal matrix S = A diag(W_struct) A' + diag(W_slack), stored
+// row-wise (CSR, full symmetric storage, diagonal entry first in each row).
+// Within one KKT factorize the weights W are constant for the whole CR
+// solve (typically 100+ iterations, reference: src/kkt_solver_diag.cc), so
+// when the fill of S is small it pays to form S once per factorize and run
+// CR with a sequential row-parallel CSR SpMV instead of the one-pass
+// gather/scatter product over the columns of A. Gated by a fill cap: on
+// problems with denser columns nnz(S) grows quadratically and the caller
+// falls back to the one-pass kernel (ipxlu_normal_apply).
+struct NrmExplicit {
+    ipxint m = 0, n = 0;
+    // borrowed views of A (CSC); the caller keeps them alive
+    const ipxint* Ap = nullptr;
+    const int32_t* Ai = nullptr;
+    const double* Ax = nullptr;
+    // A row-wise (values included: numeric refresh walks rows of A)
+    std::vector<ipxint> ATp;
+    std::vector<int32_t> ATi;
+    std::vector<double> ATx;
+    // S row-wise
+    std::vector<ipxint> Sp;
+    std::vector<int32_t> Si;
+    std::vector<double> Sx;
+};
+
+// Builds the pattern of S; returns nullptr if nnz(S) would exceed the cap.
+static NrmExplicit* nrm_symbolic(ipxint m, ipxint n, const ipxint* Ap,
+                                 const int32_t* Ai, const double* Ax,
+                                 ipxint cap) {
+    NrmExplicit* h = new NrmExplicit();
+    h->m = m; h->n = n; h->Ap = Ap; h->Ai = Ai; h->Ax = Ax;
+    const ipxint nnz = Ap[n];
+    // transpose pattern+values of A
+    h->ATp.assign(m + 1, 0);
+    h->ATi.resize(nnz);
+    h->ATx.resize(nnz);
+    for (ipxint p = 0; p < nnz; p++)
+        h->ATp[Ai[p] + 1]++;
+    for (ipxint i = 0; i < m; i++)
+        h->ATp[i + 1] += h->ATp[i];
+    {
+        std::vector<ipxint> next(h->ATp.begin(), h->ATp.end() - 1);
+        for (ipxint j = 0; j < n; j++)
+            for (ipxint p = Ap[j]; p < Ap[j + 1]; p++) {
+                ipxint q = next[Ai[p]]++;
+                h->ATi[q] = (int32_t)j;
+                h->ATx[q] = Ax[p];
+            }
+    }
+    // row-by-row union of the patterns of the columns hitting the row;
+    // diagonal first so the slack weight lands at Sp[i]
+    h->Sp.assign(m + 1, 0);
+    std::vector<ipxint> mark(m, -1);
+    for (ipxint i = 0; i < m; i++) {
+        mark[i] = i;
+        h->Si.push_back((int32_t)i);
+        for (ipxint t = h->ATp[i]; t < h->ATp[i + 1]; t++) {
+            ipxint j = h->ATi[t];
+            for (ipxint p = Ap[j]; p < Ap[j + 1]; p++) {
+                ipxint r = Ai[p];
+                if (mark[r] != i) {
+                    mark[r] = i;
+                    h->Si.push_back((int32_t)r);
+                }
+            }
+        }
+        h->Sp[i + 1] = (ipxint)h->Si.size();
+        if ((ipxint)h->Si.size() > cap) {
+            delete h;
+            return nullptr;
+        }
+    }
+    h->Sx.assign(h->Si.size(), 0.0);
+    return h;
+}
+
+// Numeric refresh: Sx for the given weights (O(sum_j c_j^2 + nnz(S))).
+static void nrm_values(NrmExplicit& h, const double* W) {
+    const ipxint m = h.m, n = h.n;
+#ifdef _OPENMP
+    if (h.Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
+#pragma omp parallel
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            std::vector<double> w(m, 0.0);
+            // contiguous row blocks balanced by nnz(S)
+            ipxint lo = (ipxint)(std::lower_bound(
+                h.Sp.data(), h.Sp.data() + m + 1,
+                h.Sp[m] * tid / nt) - h.Sp.data());
+            ipxint hi = (ipxint)(std::lower_bound(
+                h.Sp.data(), h.Sp.data() + m + 1,
+                h.Sp[m] * (tid + 1) / nt) - h.Sp.data());
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = m;
+            for (ipxint i = lo; i < hi; i++) {
+                for (ipxint t = h.ATp[i]; t < h.ATp[i + 1]; t++) {
+                    ipxint j = h.ATi[t];
+                    double d = W[j] * h.ATx[t];
+                    for (ipxint p = h.Ap[j]; p < h.Ap[j + 1]; p++)
+                        w[h.Ai[p]] += d * h.Ax[p];
+                }
+                for (ipxint q = h.Sp[i]; q < h.Sp[i + 1]; q++) {
+                    h.Sx[q] = w[h.Si[q]];
+                    w[h.Si[q]] = 0.0;
+                }
+                h.Sx[h.Sp[i]] += W[n + i];   // diagonal is first
+            }
+        }
+        return;
+    }
+#endif
+    std::vector<double> w(m, 0.0);
+    for (ipxint i = 0; i < m; i++) {
+        for (ipxint t = h.ATp[i]; t < h.ATp[i + 1]; t++) {
+            ipxint j = h.ATi[t];
+            double d = W[j] * h.ATx[t];
+            for (ipxint p = h.Ap[j]; p < h.Ap[j + 1]; p++)
+                w[h.Ai[p]] += d * h.Ax[p];
+        }
+        for (ipxint q = h.Sp[i]; q < h.Sp[i + 1]; q++) {
+            h.Sx[q] = w[h.Si[q]];
+            w[h.Si[q]] = 0.0;
+        }
+        h.Sx[h.Sp[i]] += W[n + i];
+    }
+}
+
+// lhs = S rhs with the curvature dot product fused; row-parallel.
+static double nrm_spmv_dot(const NrmExplicit& h, const double* rhs,
+                           double* lhs) {
+    const ipxint m = h.m;
+    const ipxint* Sp = h.Sp.data();
+    const int32_t* Si = h.Si.data();
+    const double* Sx = h.Sx.data();
+    double dot = 0.0;
+#ifdef _OPENMP
+    if (Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
+#pragma omp parallel reduction(+ : dot)
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            ipxint lo = (ipxint)(std::lower_bound(
+                Sp, Sp + m + 1, Sp[m] * tid / nt) - Sp);
+            ipxint hi = (ipxint)(std::lower_bound(
+                Sp, Sp + m + 1, Sp[m] * (tid + 1) / nt) - Sp);
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = m;
+            for (ipxint i = lo; i < hi; i++) {
+                double v = 0.0;
+                for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
+                    v += Sx[q] * rhs[Si[q]];
+                lhs[i] = v;
+                dot += rhs[i] * v;
+            }
+        }
+        return dot;
+    }
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        double v = 0.0;
+        for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
+            v += Sx[q] * rhs[Si[q]];
+        lhs[i] = v;
+        dot += rhs[i] * v;
+    }
+    return dot;
+}
+
+// Preconditioned CR on the normal equations with a diagonal preconditioner;
+// the matvec is supplied as a functor so the same recurrence drives both
+// the one-pass product and the explicit-S product (counterpart of
+// reference: src/conjugate_residuals.cc:90-213).
+// Returns 0 ok, 201 iter limit, 202 matrix not posdef, 203 precond not
+// posdef, 204 no progress, 205 inf/nan, 999 deadline exceeded.
+template <class Apply>
+static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
+                           const double* resscale, const double* rhs,
+                           double tol, ipxint maxiter, double deadline_s,
+                           double* lhs, ipxint* out_iters) {
+    if (maxiter < 0) maxiter = m + 100;
+    std::vector<double> residual(rhs, rhs + m);
+    std::vector<double> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
+    std::vector<double> inv_diag(m);
+    for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
+    std::fill(lhs, lhs + m, 0.0);
+
+    auto precond = [&](const double* in, double* out) {
+        double dot = 0.0;
+        for (ipxint i = 0; i < m; i++) {
+            out[i] = in[i] * inv_diag[i];
+            dot += out[i] * in[i];
+        }
+        return dot;
+    };
+
+    double rpn = precond(residual.data(), sresidual.data());
+    double cdot = apply(sresidual.data(), Csres.data());
+    step = sresidual;
+    Cstep = Csres;
+    ipxint it = 0;
+    ipxint err = 0;
+
+    auto now_s = []() {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
+
+    while (true) {
+        double resnorm = 0.0;
+        for (ipxint i = 0; i < m; i++)
+            resnorm = std::max(resnorm,
+                               std::fabs(resscale[i] * residual[i]));
+        if (resnorm <= tol) break;
+        if (it >= maxiter) { err = 201; break; }
+        if (cdot <= 0.0) { err = 202; break; }
+
+        double pdot = precond(Cstep.data(), pcd.data());
+        if (pdot <= 0.0) { err = 203; break; }
+        double alpha = cdot / pdot;
+        if (!std::isfinite(alpha)) { err = 205; break; }
+        for (ipxint i = 0; i < m; i++) {
+            lhs[i] += alpha * step[i];
+            residual[i] -= alpha * Cstep[i];
+            sresidual[i] -= alpha * pcd[i];
+        }
+        double cdot_new = apply(sresidual.data(), Csres.data());
+        double beta = cdot_new / cdot;
+        for (ipxint i = 0; i < m; i++) {
+            step[i] = sresidual[i] + beta * step[i];
+            Cstep[i] = Csres[i] + beta * Cstep[i];
+        }
+        cdot = cdot_new;
+        it++;
+        if (it % 5 == 0) {
+            // Recompute the preconditioned residual from its definition and
+            // require monotone decrease. Only sresidual is replaced — the
+            // recurrence quantities carry over, exactly as the reference
+            // does (reference: src/conjugate_residuals.cc:183-207).
+            double rsdot = precond(residual.data(), sresidual.data());
+            if (rsdot >= rpn) { err = 204; break; }
+            rpn = rsdot;
+            if (deadline_s > 0.0 && now_s() > deadline_s) {
+                err = 999;
+                break;
+            }
+        }
+    }
+    *out_iters = it;
+    return err;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -1787,78 +2040,54 @@ ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
                      const double* resscale, const double* rhs, double tol,
                      ipxint maxiter, double deadline_s, double* lhs,
                      ipxint* out_iters) {
-    if (maxiter < 0) maxiter = m + 100;
-    std::vector<double> residual(rhs, rhs + m);
-    std::vector<double> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
-    std::vector<double> inv_diag(m);
-    for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
-    std::fill(lhs, lhs + m, 0.0);
-
-    auto precond = [&](const double* in, double* out) {
-        double dot = 0.0;
-        for (ipxint i = 0; i < m; i++) {
-            out[i] = in[i] * inv_diag[i];
-            dot += out[i] * in[i];
-        }
-        return dot;
+    auto apply = [&](const double* in, double* out) {
+        return ipxlu_normal_apply(m, n, Ap, Ai, Ax, W, in, out);
     };
+    return cr_diag_core(m, apply, diag, resscale, rhs, tol, maxiter,
+                        deadline_s, lhs, out_iters);
+}
 
-    double rpn = precond(residual.data(), sresidual.data());
-    double cdot = ipxlu_normal_apply(m, n, Ap, Ai, Ax, W, sresidual.data(),
-                                     Csres.data());
-    step = sresidual;
-    Cstep = Csres;
-    ipxint it = 0;
-    ipxint err = 0;
-
-    auto now_s = []() {
-        return std::chrono::duration<double>(
-            std::chrono::steady_clock::now().time_since_epoch()).count();
-    };
-
-    while (true) {
-        double resnorm = 0.0;
-        for (ipxint i = 0; i < m; i++)
-            resnorm = std::max(resnorm,
-                               std::fabs(resscale[i] * residual[i]));
-        if (resnorm <= tol) break;
-        if (it >= maxiter) { err = 201; break; }
-        if (cdot <= 0.0) { err = 202; break; }
-
-        double pdot = precond(Cstep.data(), pcd.data());
-        if (pdot <= 0.0) { err = 203; break; }
-        double alpha = cdot / pdot;
-        if (!std::isfinite(alpha)) { err = 205; break; }
-        for (ipxint i = 0; i < m; i++) {
-            lhs[i] += alpha * step[i];
-            residual[i] -= alpha * Cstep[i];
-            sresidual[i] -= alpha * pcd[i];
-        }
-        double cdot_new = ipxlu_normal_apply(m, n, Ap, Ai, Ax, W,
-                                             sresidual.data(), Csres.data());
-        double beta = cdot_new / cdot;
-        for (ipxint i = 0; i < m; i++) {
-            step[i] = sresidual[i] + beta * step[i];
-            Cstep[i] = Csres[i] + beta * Cstep[i];
-        }
-        cdot = cdot_new;
-        it++;
-        if (it % 5 == 0) {
-            // Recompute the preconditioned residual from its definition and
-            // require monotone decrease. Only sresidual is replaced — the
-            // recurrence quantities carry over, exactly as the reference
-            // does (reference: src/conjugate_residuals.cc:183-207).
-            double rsdot = precond(residual.data(), sresidual.data());
-            if (rsdot >= rpn) { err = 204; break; }
-            rpn = rsdot;
-            if (deadline_s > 0.0 && now_s() > deadline_s) {
-                err = 999;
-                break;
-            }
-        }
+// ---------------------------------------------------------------------
+// Explicit normal matrix handle (see NrmExplicit above). ipxlu_nrm_new
+// performs the symbolic build once per model; returns NULL when nnz(S)
+// would exceed cap (caller falls back to the one-pass matvec). The Ap/Ai/Ax
+// buffers are borrowed for the lifetime of the handle.
+void* ipxlu_nrm_new(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
+                    const double* Ax, ipxint cap) {
+    try {
+        return nrm_symbolic(m, n, Ap, Ai, Ax, cap);
+    } catch (...) {
+        return nullptr;
     }
-    *out_iters = it;
-    return err;
+}
+
+ipxint ipxlu_nrm_nnz(void* h) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    return nh.Sp[nh.m];
+}
+
+// Numeric refresh for the weights of the current KKT factorize.
+void ipxlu_nrm_values(void* h, const double* W) {
+    nrm_values(*static_cast<NrmExplicit*>(h), W);
+}
+
+void ipxlu_nrm_free(void* h) {
+    delete static_cast<NrmExplicit*>(h);
+}
+
+// CR on the normal equations with the explicit S as the operator; same
+// contract as ipxlu_cr_diag. Requires a prior ipxlu_nrm_values call with
+// the weights of the current factorize.
+ipxint ipxlu_cr_diag_explicit(void* h, const double* diag,
+                              const double* resscale, const double* rhs,
+                              double tol, ipxint maxiter, double deadline_s,
+                              double* lhs, ipxint* out_iters) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    auto apply = [&](const double* in, double* out) {
+        return nrm_spmv_dot(nh, in, out);
+    };
+    return cr_diag_core(nh.m, apply, diag, resscale, rhs, tol, maxiter,
+                        deadline_s, lhs, out_iters);
 }
 
 // ---------------------------------------------------------------------

@@ -108,3 +108,78 @@ def test_interior_solution_sign_conditions():
     assert np.all(sol.slack[ct == ">"] <= 0)
     assert np.all(sol.y[ct == "<"] <= 0)
     assert np.all(sol.y[ct == ">"] >= 0)
+
+
+def test_explicit_normal_matrix_matches_one_pass():
+    """The explicit-S CR path (built when fill(S) is small) must produce
+    the same values as the one-pass normal-matrix product it replaces."""
+    import ctypes as ct
+    import scipy.sparse as sp
+    from ipx_tpu.native import build
+
+    lib = ct.CDLL(build.build())
+    I = ct.c_int64
+    D = ct.c_double
+    IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    IA32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ipxlu_nrm_new.restype = ct.c_void_p
+    lib.ipxlu_nrm_new.argtypes = [I, I, IA, IA32, DA, I]
+    lib.ipxlu_nrm_nnz.restype = I
+    lib.ipxlu_nrm_nnz.argtypes = [ct.c_void_p]
+    lib.ipxlu_nrm_values.restype = None
+    lib.ipxlu_nrm_values.argtypes = [ct.c_void_p, DA]
+    lib.ipxlu_nrm_free.restype = None
+    lib.ipxlu_nrm_free.argtypes = [ct.c_void_p]
+    lib.ipxlu_cr_diag_explicit.restype = I
+    lib.ipxlu_cr_diag_explicit.argtypes = [ct.c_void_p, DA, DA, DA, D, I,
+                                           D, DA, ct.POINTER(I)]
+
+    rng = np.random.default_rng(3)
+    m, n = 80, 200
+    A = sp.random(m, n, density=0.05, random_state=11, format="csc")
+    A.data = rng.standard_normal(A.nnz) + 2.0
+    Ap = np.ascontiguousarray(A.indptr, np.int64)
+    Ai = np.ascontiguousarray(A.indices, np.int32)
+    Ax = np.ascontiguousarray(A.data, np.float64)
+    W = np.ascontiguousarray(rng.uniform(0.5, 3.0, n + m))
+
+    h = lib.ipxlu_nrm_new(m, n, Ap, Ai, Ax, 10**9)
+    assert h
+    lib.ipxlu_nrm_values(h, W)
+    S = (A @ sp.diags(W[:n]) @ A.T).toarray() + np.diag(W[n:])
+    rhs = np.ascontiguousarray(rng.standard_normal(m))
+    diag = np.ascontiguousarray(np.diag(S).copy())
+    ones = np.ascontiguousarray(np.ones(m))
+    y = np.zeros(m)
+    it = ct.c_int64(0)
+    err = lib.ipxlu_cr_diag_explicit(h, diag, ones, rhs, 1e-10, -1, 0.0,
+                                     y, ct.byref(it))
+    assert err == 0
+    assert np.abs(y - np.linalg.solve(S, rhs)).max() < 1e-7
+    lib.ipxlu_nrm_free(h)
+    # over-tight fill cap -> symbolic build declines, caller must fall back
+    assert not lib.ipxlu_nrm_new(m, n, Ap, Ai, Ax, 10)
+
+
+def test_explicit_normal_matrix_solve_parity():
+    """Full phase-1 solve agrees whether or not the explicit-S path is
+    engaged (it is keyed off the fill cap; force-disable via monkeypatch)."""
+    from ipx_tpu.kkt.diag import KKTSolverDiag
+
+    def run(disable):
+        orig = KKTSolverDiag._prepare_explicit_normal
+        if disable:
+            KKTSolverDiag._prepare_explicit_normal = \
+                lambda self, *a, **k: None
+        try:
+            s = LpSolver(phase1_params())
+            assert afiro().load_into(s) == 0
+            s.solve()
+            return s.get_info().pobjval
+        finally:
+            KKTSolverDiag._prepare_explicit_normal = orig
+
+    obj_on, obj_off = run(False), run(True)
+    assert obj_on == pytest.approx(AFIRO_OBJECTIVE, rel=1e-6)
+    assert obj_off == pytest.approx(AFIRO_OBJECTIVE, rel=1e-6)
