@@ -1623,9 +1623,17 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
     std::vector<double> inv_diag(m);
     for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
     std::fill(lhs, lhs + m, 0.0);
+#ifdef _OPENMP
+    const bool par = m >= (ipxint)1 << 14 && omp_get_max_threads() > 1;
+#else
+    const bool par = false;
+#endif
 
     auto precond = [&](const double* in, double* out) {
         double dot = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : dot) if (par)
+#endif
         for (ipxint i = 0; i < m; i++) {
             out[i] = in[i] * inv_diag[i];
             dot += out[i] * in[i];
@@ -1645,11 +1653,16 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
             std::chrono::steady_clock::now().time_since_epoch()).count();
     };
 
+    // scaled inf-norm of the initial residual; thereafter the norm of the
+    // updated residual is fused into the axpy pass below.
+    double resnorm = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : resnorm) if (par)
+#endif
+    for (ipxint i = 0; i < m; i++)
+        resnorm = std::max(resnorm, std::fabs(resscale[i] * residual[i]));
+
     while (true) {
-        double resnorm = 0.0;
-        for (ipxint i = 0; i < m; i++)
-            resnorm = std::max(resnorm,
-                               std::fabs(resscale[i] * residual[i]));
         if (resnorm <= tol) break;
         if (it >= maxiter) { err = 201; break; }
         if (cdot <= 0.0) { err = 202; break; }
@@ -1658,16 +1671,40 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
         if (pdot <= 0.0) { err = 203; break; }
         double alpha = cdot / pdot;
         if (!std::isfinite(alpha)) { err = 205; break; }
-        for (ipxint i = 0; i < m; i++) {
-            lhs[i] += alpha * step[i];
-            residual[i] -= alpha * Cstep[i];
-            sresidual[i] -= alpha * pcd[i];
+        {
+            double* lh = lhs;
+            double* re = residual.data();
+            double* sre = sresidual.data();
+            const double* st = step.data();
+            const double* Cst = Cstep.data();
+            const double* pc = pcd.data();
+            double rn = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : rn) if (par)
+#endif
+            for (ipxint i = 0; i < m; i++) {
+                lh[i] += alpha * st[i];
+                double r = re[i] - alpha * Cst[i];
+                re[i] = r;
+                sre[i] -= alpha * pc[i];
+                rn = std::max(rn, std::fabs(resscale[i] * r));
+            }
+            resnorm = rn;
         }
         double cdot_new = apply(sresidual.data(), Csres.data());
         double beta = cdot_new / cdot;
-        for (ipxint i = 0; i < m; i++) {
-            step[i] = sresidual[i] + beta * step[i];
-            Cstep[i] = Csres[i] + beta * Cstep[i];
+        {
+            double* st = step.data();
+            double* Cst = Cstep.data();
+            const double* sre = sresidual.data();
+            const double* Cs = Csres.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (par)
+#endif
+            for (ipxint i = 0; i < m; i++) {
+                st[i] = sre[i] + beta * st[i];
+                Cst[i] = Cs[i] + beta * Cst[i];
+            }
         }
         cdot = cdot_new;
         it++;
