@@ -93,9 +93,10 @@ import scipy.sparse as sp
 data = transportation(%(src)d, %(snk)d, 0.001, %(seed)d)
 m, n = data["num_constr"], data["num_var"]
 A = sp.csc_matrix((data["Ax"], data["Ai"], data["Ap"]), shape=(m, n))
-import jax
-jax.config.update("jax_enable_x64", True)
+from ipx_tpu.ops.device_cr import _get_jax
+jax = _get_jax()   # x64 + persistent compilation cache
 import jax.numpy as jnp
+from jax import lax
 from ipx_tpu.ops.spmv import NormalMatrixDevice
 nmd = NormalMatrixDevice(A)
 rng = np.random.default_rng(1)
@@ -111,11 +112,30 @@ for _ in range(iters):
     out = fn(v)
 jax.block_until_ready(out)
 rate = iters / (time.perf_counter() - t0)
-print(json.dumps({"rate": rate, "compile_s": compile_s}))
+# On-device looped rate: K matvecs inside one lax.fori_loop, the shape the
+# solver's device CR actually runs (no per-call host round trip).
+K = 200
+def looped(v):
+    def body(i, u):
+        u = nmd.apply(W, u)
+        return u / jnp.max(jnp.abs(u))
+    return lax.fori_loop(0, K, body, v)
+lfn = jax.jit(looped)
+t0 = time.perf_counter()
+out = lfn(v); jax.block_until_ready(out)
+loop_compile_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+for _ in range(3):
+    out = lfn(v)
+jax.block_until_ready(out)
+looped_rate = 3 * K / (time.perf_counter() - t0)
+print(json.dumps({"rate": rate, "compile_s": compile_s,
+                  "looped_rate": looped_rate,
+                  "loop_compile_s": loop_compile_s}))
 """
 
 
-def device_matvec_rate(src, snk, seed, timeout_s=240):
+def device_matvec_rate(src, snk, seed, timeout_s=720):
     """Runs the device matvec benchmark in a subprocess with a hard
     timeout; returns (rate, ok)."""
     code = _DEVICE_CHILD % {"repo": REPO, "src": src, "snk": snk,
@@ -127,10 +147,10 @@ def device_matvec_rate(src, snk, seed, timeout_s=240):
         for line in out.stdout.strip().splitlines()[::-1]:
             if line.startswith("{"):
                 d = json.loads(line)
-                return d["rate"], True
+                return d, True
     except (subprocess.TimeoutExpired, Exception):
         pass
-    return 0.0, False
+    return {}, False
 
 
 def baseline_solve_time(data):
@@ -162,7 +182,7 @@ def main():
     t_solve, data, stats = full_solve()
     host_rate = host_matvec_rate(data)
     native_rate = native_matvec_rate(data)
-    dev_rate, dev_ok = device_matvec_rate(8000, 12000, 1)
+    dev, dev_ok = device_matvec_rate(8000, 12000, 1)
 
     # naive baseline: the pure-python compute paths are orders of magnitude
     # slower, so measure naive vs accelerated on a reduced instance that the
@@ -205,7 +225,10 @@ def main():
             "solve_status": list(stats),
             "host_matvec_per_s": round(host_rate, 1),
             "native_matvec_per_s": round(native_rate, 1),
-            "device_matvec_per_s": round(dev_rate, 1),
+            "device_matvec_per_s": round(dev.get("rate", 0.0), 1),
+            "device_looped_matvec_per_s": round(dev.get("looped_rate",
+                                                        0.0), 1),
+            "device_compile_s": round(dev.get("compile_s", 0.0), 1),
             "device_ok": bool(dev_ok),
             "naive_small_solve_s": round(naive_dt, 3) if naive_dt else None,
             "accel_small_solve_s": round(accel_small_dt, 3),

@@ -349,8 +349,11 @@ class IPM:
         # The corrector system is solved from the same residuals with the
         # centered complementarity rhs, yielding the FULL combined direction
         # which replaces the predictor step (Mehrotra's method).
+        # Warm start the corrector from the predictor direction (they share
+        # the KKT matrix and correlated right-hand sides; step.y holds the
+        # negated KKT dual solution).
         corr = self._solve_newton_system(it.rb(), it.rc(), it.rl(), it.ru(),
-                                         sl, su)
+                                         sl, su, y0=-step.y)
         if self.info.errflag:
             return
         step.x, step.xl, step.xu = corr.x, corr.xl, corr.xu
@@ -425,7 +428,8 @@ class IPM:
                                         it.complementarity())
 
     # ------------------------------------------------------------------
-    def _solve_newton_system(self, rb, rc, rl, ru, sl, su) -> Step:
+    def _solve_newton_system(self, rb, rc, rl, ru, sl, su,
+                             y0=None) -> Step:
         """Reduce the 6-block Newton system to KKT form, solve, recover, and
         shift the residual into the last two block equations
         (reference: src/ipm.cc:532-645)."""
@@ -456,7 +460,7 @@ class IPM:
         rhs2 = rb.copy() if rb is not None else np.zeros(m)
 
         tol = self.control.parameters.kkt_tol * np.sqrt(it.mu())
-        dx, dy = self.kkt.solve(rhs1, rhs2, tol, info)
+        dx, dy = self.kkt.solve(rhs1, rhs2, tol, info, y0)
         step = Step.zeros(m, nm)
         if info.errflag:
             return step

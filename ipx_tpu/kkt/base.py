@@ -26,9 +26,12 @@ class KKTSolver:
         self._factorize(iterate, info)
 
     def solve(self, a: np.ndarray, b: np.ndarray, tol: float,
-              info: Info):
-        """Returns (x, y) solving the KKT system to tolerance tol."""
-        return self._solve(a, b, tol, info)
+              info: Info, y0: Optional[np.ndarray] = None):
+        """Returns (x, y) solving the KKT system to tolerance tol. y0 is an
+        optional initial guess for the dual (row) part; implementations may
+        use it to warm-start an iterative solve (the reference always starts
+        from zero, reference: src/conjugate_residuals.cc:33-36)."""
+        return self._solve(a, b, tol, info, y0)
 
     @property
     def iter(self) -> int:
@@ -48,7 +51,7 @@ class KKTSolver:
     def _factorize(self, iterate, info: Info) -> None:
         raise NotImplementedError
 
-    def _solve(self, a, b, tol, info):
+    def _solve(self, a, b, tol, info, y0=None):
         raise NotImplementedError
 
     def _iter(self) -> int:

@@ -112,7 +112,11 @@ class KKTSolverBasis(KKTSolver):
         self.factorized = True
 
     # ------------------------------------------------------------------
-    def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info):
+    def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info,
+               y0=None):
+        # y0 (warm start) is unused: the basis-preconditioned CR converges
+        # in few iterations, so a warm start does not pay for its extra
+        # operator application.
         """reference: src/kkt_solver_basis.cc:75-194"""
         md = self.model
         m, n = md.num_rows, md.num_cols

@@ -112,10 +112,10 @@ class KKTSolverDiag(KKTSolver):
                                               flags="C_CONTIGUOUS")
                 DA = np.ctypeslib.ndpointer(np.float64,
                                             flags="C_CONTIGUOUS")
-                lib.ipxlu_cr_diag.restype = I
-                lib.ipxlu_cr_diag.argtypes = [I, I, IA, IA32, DA, DA, DA,
-                                              DA, DA, D, I, D, DA,
-                                              ct.POINTER(I)]
+                lib.ipxlu_cr_diag_warm.restype = I
+                lib.ipxlu_cr_diag_warm.argtypes = [I, I, IA, IA32, DA, DA,
+                                                   DA, DA, DA, D, I, D, DA,
+                                                   ct.POINTER(I), I]
                 lib.ipxlu_nrm_new.restype = ct.c_void_p
                 lib.ipxlu_nrm_new.argtypes = [I, I, IA, IA32, DA, I]
                 lib.ipxlu_nrm_nnz.restype = I
@@ -124,9 +124,9 @@ class KKTSolverDiag(KKTSolver):
                 lib.ipxlu_nrm_values.argtypes = [ct.c_void_p, DA]
                 lib.ipxlu_nrm_free.restype = None
                 lib.ipxlu_nrm_free.argtypes = [ct.c_void_p]
-                lib.ipxlu_cr_diag_explicit.restype = I
-                lib.ipxlu_cr_diag_explicit.argtypes = [
-                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I)]
+                lib.ipxlu_cr_diag_explicit_warm.restype = I
+                lib.ipxlu_cr_diag_explicit_warm.argtypes = [
+                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I]
                 lib._cr_ready = True
             self._native_cr = (lib, Ap, Ai, Ax, ct)
             self._prepare_explicit_normal(lib, Ap, Ai, Ax, ct)
@@ -180,7 +180,8 @@ class KKTSolverDiag(KKTSolver):
         except Exception:
             self._device_cr = None
 
-    def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info):
+    def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info,
+               y0: Optional[np.ndarray] = None):
         md = self.model
         m, n = md.num_rows, md.num_cols
         assert self.factorized
@@ -189,7 +190,13 @@ class KKTSolverDiag(KKTSolver):
         wa = self.W * a
         rhs = md.AI_mul(wa) - b
 
-        y = np.zeros(m)
+        warm = 0
+        if y0 is not None and self._device_cr is None \
+                and self._native_cr is not None and np.all(np.isfinite(y0)):
+            y = np.ascontiguousarray(y0, dtype=np.float64)
+            warm = 1
+        else:
+            y = np.zeros(m)
         self.normal_matrix.reset_time()
         self.precond.reset_time()
 
@@ -213,15 +220,15 @@ class KKTSolverDiag(KKTSolver):
             iters = ct.c_int64(0)
             t0 = perf_counter()
             if self._nrm_handle is not None:
-                err = int(lib.ipxlu_cr_diag_explicit(
+                err = int(lib.ipxlu_cr_diag_explicit_warm(
                     self._nrm_handle, self.precond.diagonal, self.resscale,
                     np.ascontiguousarray(rhs), tol, self.maxiter, deadline,
-                    y, ct.byref(iters)))
+                    y, ct.byref(iters), warm))
             else:
-                err = int(lib.ipxlu_cr_diag(
+                err = int(lib.ipxlu_cr_diag_warm(
                     m, n, Ap, Ai, Ax, self.W, self.precond.diagonal,
                     self.resscale, np.ascontiguousarray(rhs), tol,
-                    self.maxiter, deadline, y, ct.byref(iters)))
+                    self.maxiter, deadline, y, ct.byref(iters), warm))
             dt = perf_counter() - t0
             info.errflag = 999 if err == 999 else err
             info.kktiter1 += iters.value

@@ -1616,13 +1616,22 @@ template <class Apply>
 static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
                            const double* resscale, const double* rhs,
                            double tol, ipxint maxiter, double deadline_s,
-                           double* lhs, ipxint* out_iters) {
+                           double* lhs, ipxint* out_iters,
+                           bool warm = false) {
     if (maxiter < 0) maxiter = m + 100;
     std::vector<double> residual(rhs, rhs + m);
     std::vector<double> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
     std::vector<double> inv_diag(m);
     for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
-    std::fill(lhs, lhs + m, 0.0);
+    if (warm) {
+        // lhs holds an initial guess: residual = rhs - C lhs (costs one
+        // extra matvec; pays off when the guess is close, e.g. the
+        // corrector solve starting from the predictor direction).
+        apply(lhs, Csres.data());
+        for (ipxint i = 0; i < m; i++) residual[i] -= Csres[i];
+    } else {
+        std::fill(lhs, lhs + m, 0.0);
+    }
 #ifdef _OPENMP
     const bool par = m >= (ipxint)1 << 14 && omp_get_max_threads() > 1;
 #else
@@ -2084,6 +2093,20 @@ ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
                         deadline_s, lhs, out_iters);
 }
 
+// Same, but lhs carries an initial guess on entry (warm != 0).
+ipxint ipxlu_cr_diag_warm(ipxint m, ipxint n, const ipxint* Ap,
+                          const int32_t* Ai, const double* Ax,
+                          const double* W, const double* diag,
+                          const double* resscale, const double* rhs,
+                          double tol, ipxint maxiter, double deadline_s,
+                          double* lhs, ipxint* out_iters, ipxint warm) {
+    auto apply = [&](const double* in, double* out) {
+        return ipxlu_normal_apply(m, n, Ap, Ai, Ax, W, in, out);
+    };
+    return cr_diag_core(m, apply, diag, resscale, rhs, tol, maxiter,
+                        deadline_s, lhs, out_iters, warm != 0);
+}
+
 // ---------------------------------------------------------------------
 // Explicit normal matrix handle (see NrmExplicit above). ipxlu_nrm_new
 // performs the symbolic build once per model; returns NULL when nnz(S)
@@ -2125,6 +2148,20 @@ ipxint ipxlu_cr_diag_explicit(void* h, const double* diag,
     };
     return cr_diag_core(nh.m, apply, diag, resscale, rhs, tol, maxiter,
                         deadline_s, lhs, out_iters);
+}
+
+// Same, but lhs carries an initial guess on entry (warm != 0).
+ipxint ipxlu_cr_diag_explicit_warm(void* h, const double* diag,
+                                   const double* resscale, const double* rhs,
+                                   double tol, ipxint maxiter,
+                                   double deadline_s, double* lhs,
+                                   ipxint* out_iters, ipxint warm) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    auto apply = [&](const double* in, double* out) {
+        return nrm_spmv_dot(nh, in, out);
+    };
+    return cr_diag_core(nh.m, apply, diag, resscale, rhs, tol, maxiter,
+                        deadline_s, lhs, out_iters, warm != 0);
 }
 
 // ---------------------------------------------------------------------
