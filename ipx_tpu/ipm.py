@@ -72,6 +72,17 @@ class IPM:
         self.step_dual = 0.0
         self.num_bad_iter = 0
         self.best_complementarity = 0.0
+        # Phase-1-only trend switch (beyond-reference tuning): when set by
+        # the orchestrator in auto switch mode, end phase 1 once the CR
+        # iteration count per IPM iteration is large and has grown for
+        # three consecutive iterations — the diag preconditioner is losing
+        # and each further iteration roughly doubles in cost, while the
+        # basis-preconditioned phase solves the same systems in O(10) iters.
+        # (The reference waits for a hard per-solve cap of min(500, 10+m/20),
+        # reference: src/lp_solver.cc:388-397, which with this framework's
+        # cheap native matvec switches later than optimal.)
+        self.phase1_trend_switch = False
+        self._kkt_iter_hist: list = []
 
     # ------------------------------------------------------------------
     def compute_starting_point(self, kkt: KKTSolver, iterate: Iterate,
@@ -197,6 +208,13 @@ class IPM:
             self._make_step(step)
             info.iter += 1
             self._print_output()
+            if self.phase1_trend_switch:
+                hist = self._kkt_iter_hist
+                hist.append(kkt.iter)   # CR iters since this factorize
+                if (len(hist) >= 4 and hist[-1] > max(200, m // 64)
+                        and hist[-1] > hist[-2] > hist[-3] > hist[-4]):
+                    info.status_ipm = int(SolveStatus.NO_PROGRESS)
+                    break
 
         if info.errflag:
             if info.errflag == int(Errflag.INTERRUPT_TIME):

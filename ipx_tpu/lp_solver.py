@@ -301,9 +301,15 @@ class LpSolver:
         if switchiter < 0:
             kkt.maxiter = min(500, 10 + self.model.num_rows // 20)
             ipm.maxiter = params.ipm_maxiter
+            # auto mode additionally ends phase 1 on a sustained growth
+            # trend in CR iterations (see IPM.phase1_trend_switch); only
+            # for large models so tiny-LP status expectations are unchanged
+            ipm.phase1_trend_switch = self.model.num_rows >= 5000
         else:
             ipm.maxiter = min(switchiter, params.ipm_maxiter)
         ipm.driver(kkt, self.iterate, self.info)
+        ipm.phase1_trend_switch = False
+        ipm._kkt_iter_hist = []
         info = self.info
         if info.status_ipm == int(SolveStatus.OPTIMAL):
             # Still run the basis-preconditioned IPM so a starting basis is
