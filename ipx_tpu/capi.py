@@ -129,3 +129,14 @@ def ipx_get_kktmatrix(handle):
 def ipx_symbolic_invert(handle):
     """Returns (rowcounts, colcounts) or None."""
     return _solver(handle).symbolic_invert()
+
+
+def ipx_save_checkpoint(handle, filename) -> int:
+    """Writes the last pre-postsolve IPM state to an .npz checkpoint
+    (capability beyond the reference C API; see ipx_tpu/checkpoint.py)."""
+    return _solver(handle).save_checkpoint(filename)
+
+
+def ipx_load_checkpoint(handle, filename) -> int:
+    """Arms the next ipx_solve to resume from an .npz checkpoint."""
+    return _solver(handle).load_checkpoint(filename)

@@ -83,6 +83,10 @@ class IPM:
         # cheap native matvec switches later than optimal.)
         self.phase1_trend_switch = False
         self._kkt_iter_hist: list = []
+        # Called after each completed IPM iteration, at a point where the
+        # (iterate, basis) pair is consistent; used by LpSolver for periodic
+        # checkpoint writes (ipx_tpu/checkpoint.py).
+        self.iteration_callback = None
 
     # ------------------------------------------------------------------
     def compute_starting_point(self, kkt: KKTSolver, iterate: Iterate,
@@ -208,6 +212,8 @@ class IPM:
             self._make_step(step)
             info.iter += 1
             self._print_output()
+            if self.iteration_callback is not None:
+                self.iteration_callback()
             if self.phase1_trend_switch:
                 hist = self._kkt_iter_hist
                 hist.append(kkt.iter)   # CR iters since this factorize

@@ -42,6 +42,12 @@ class LpSolver:
         self.interior_solution: Optional[InteriorSolution] = None
         self.basic_solution: Optional[BasicSolution] = None
         self.ipm_start: Optional[InteriorSolution] = None
+        # checkpoint/resume state (ipx_tpu/checkpoint.py; no reference
+        # counterpart — the reference only has user warm starts,
+        # reference: src/lp_solver.h:60-66)
+        self._resume_ckpt = None       # set by load_checkpoint()
+        self._checkpoint = None        # final pre-postsolve snapshot
+        self._ckpt_last_write = 0.0
 
     # ------------------------------------------------------------------
     # Model loading (reference: src/lp_solver.cc:18-52)
@@ -72,16 +78,66 @@ class LpSolver:
         self.ipm_start = point
         return 0
 
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (ipx_tpu/checkpoint.py; capability added beyond
+    # the reference, whose only restart path is the user warm start)
+    # ------------------------------------------------------------------
+    def get_checkpoint(self):
+        """Returns the most recent checkpoint dict, or None.
+
+        After solve() this is the final pre-postsolve IPM state (iterate +
+        basis); it can be passed to load_checkpoint() on a solver holding
+        the same model to continue where this run stopped (e.g. after a
+        time or iteration limit).
+        """
+        from . import checkpoint as _ckpt
+        if self._checkpoint is not None:
+            return self._checkpoint
+        if self.iterate is not None and not self.iterate.postprocessed:
+            return _ckpt.build(self.model, self.iterate, self.basis,
+                               self.info.iter)
+        return None
+
+    def save_checkpoint(self, path: str) -> int:
+        from . import checkpoint as _ckpt
+        ckpt = self.get_checkpoint()
+        if ckpt is None:
+            return int(Errflag.INVALID_CHECKPOINT)
+        _ckpt.save_npz(ckpt, path)
+        return 0
+
+    def load_checkpoint(self, src) -> int:
+        """Arms a resume from a checkpoint dict or .npz path.
+
+        The next solve() skips the starting-point procedure and phase 1,
+        restores the iterate (and basis, if the checkpoint holds one) and
+        continues with basis-preconditioned iterations. The checkpoint must
+        match the presolved model (same LP, same dualize/scale settings);
+        a mismatch fails the solve with IPX_ERROR_invalid_checkpoint.
+        """
+        from . import checkpoint as _ckpt
+        if isinstance(src, str):
+            src = _ckpt.load_npz(src)
+        if not isinstance(src, dict) or "fingerprint" not in src \
+                or any(k not in src for k in ("x", "xl", "xu", "y", "zl",
+                                              "zu", "state", "iter")):
+            self._resume_ckpt = None
+            return int(Errflag.INVALID_CHECKPOINT)
+        self._resume_ckpt = src
+        return 0
+
     def clear_model(self) -> None:
         self.user_model.clear()
         self.model.clear()
         self.presolver.clear()
         self.clear_solution()
         self.ipm_start = None
+        self._resume_ckpt = None
 
     def clear_solution(self) -> None:
         self.iterate = None
         self.basis = None
+        self._checkpoint = None
         self.simplex_iterate = None
         self.interior_solution = None
         self.basic_solution = None
@@ -240,6 +296,19 @@ class LpSolver:
 
         self._run_ipm()
 
+        # Stash the final pre-postsolve state as a checkpoint: postprocess()
+        # below restores fixed/implied variables and invalidates the iterate
+        # for resuming, so this is the last consistent snapshot.
+        from . import checkpoint as _ckpt
+        try:
+            self._checkpoint = _ckpt.build(self.model, self.iterate,
+                                           self.basis, self.info.iter)
+            if params.checkpoint_file and self.info.status_ipm not in (
+                    int(SolveStatus.OPTIMAL), int(SolveStatus.IMPRECISE)):
+                _ckpt.save_npz(self._checkpoint, params.checkpoint_file)
+        except (OSError, ValueError) as e:
+            control.log(f" Warning: final checkpoint failed: {e}\n")
+
         self.iterate.postprocess()
         self.interior_solution = InteriorSolution.zeros(
             self.user_model.num_var, self.user_model.num_constr)
@@ -258,6 +327,22 @@ class LpSolver:
         """reference: src/lp_solver.cc:334-359"""
         ipm = IPM(self.control)
         info = self.info
+
+        if self._resume_ckpt is not None:
+            self.control.log(" Resuming from checkpoint."
+                             " Skipping initial iterations.\n")
+            restored_basis = self._restore_checkpoint()
+            self._resume_ckpt = None
+            if info.status_ipm != int(SolveStatus.NOT_RUN) or info.errflag:
+                if info.errflag:
+                    info.status_ipm = int(SolveStatus.FAILED)
+                return
+            if not restored_basis:
+                self._build_starting_basis()
+                if info.status_ipm != int(SolveStatus.NOT_RUN):
+                    return
+            self._run_main_ipm(ipm)
+            return
 
         if self.ipm_start is not None and not self.model.dualized:
             self.control.log(" Using starting point provided by user."
@@ -279,6 +364,63 @@ class LpSolver:
         if info.status_ipm != int(SolveStatus.NOT_RUN):
             return
         self._run_main_ipm(ipm)
+
+    def _restore_checkpoint(self) -> bool:
+        """Restores iterate (+basis) from the armed checkpoint.
+
+        Returns True when a basis was restored (resume continues directly in
+        phase 2), False when the checkpoint predates the phase switch (a
+        starting basis is then built from the restored iterate). Sets
+        info.errflag on a model mismatch or singular restored basis.
+        """
+        from . import checkpoint as _ckpt
+        info = self.info
+        ckpt = self._resume_ckpt
+        if not _ckpt.validate(ckpt, self.model):
+            self.control.log(" Checkpoint does not match the presolved"
+                             " model; refusing to resume.\n")
+            info.errflag = int(Errflag.INVALID_CHECKPOINT)
+            return False
+        it = self.iterate
+        it.x = np.array(ckpt["x"], dtype=float)
+        it.xl = np.array(ckpt["xl"], dtype=float)
+        it.xu = np.array(ckpt["xu"], dtype=float)
+        it.y = np.array(ckpt["y"], dtype=float)
+        it.zl = np.array(ckpt["zl"], dtype=float)
+        it.zu = np.array(ckpt["zu"], dtype=float)
+        it.state = np.array(ckpt["state"], dtype=it.state.dtype)
+        it._evaluated = False
+        it.postprocessed = False
+        info.iter = int(ckpt["iter"])
+        if not _ckpt.has_basis(ckpt):
+            return False
+        from .basis.basis import Basis
+        self.basis = Basis(self.control, self.model)
+        self.basis.basis = np.array(ckpt["basis"], dtype=np.int64)
+        self.basis.map2basis = np.array(ckpt["map2basis"], dtype=np.int64)
+        errflag = self.basis.factorize()
+        if errflag:
+            info.errflag = errflag
+            return False
+        return True
+
+    def _checkpoint_tick(self) -> None:
+        """Per-IPM-iteration hook: periodic checkpoint writes."""
+        from . import checkpoint as _ckpt
+        params = self.control.parameters
+        if not params.checkpoint_file or params.checkpoint_interval < 0:
+            return
+        now = perf_counter()
+        if (self._ckpt_last_write
+                and now - self._ckpt_last_write < params.checkpoint_interval):
+            return
+        try:
+            _ckpt.save_npz(_ckpt.build(self.model, self.iterate, self.basis,
+                                       self.info.iter),
+                           params.checkpoint_file)
+            self._ckpt_last_write = perf_counter()
+        except (OSError, ValueError) as e:
+            self.control.log(f" Warning: checkpoint write failed: {e}\n")
 
     def _load_starting_point(self, ipm: IPM) -> None:
         out = self.presolver.presolve_ipm_starting_point(self.ipm_start)
@@ -307,6 +449,7 @@ class LpSolver:
             ipm.phase1_trend_switch = self.model.num_rows >= 5000
         else:
             ipm.maxiter = min(switchiter, params.ipm_maxiter)
+        ipm.iteration_callback = self._checkpoint_tick
         ipm.driver(kkt, self.iterate, self.info)
         ipm.phase1_trend_switch = False
         ipm._kkt_iter_hist = []
@@ -371,6 +514,7 @@ class LpSolver:
         t0 = perf_counter()
         kkt = KKTSolverBasis(self.control, self.basis)
         ipm.maxiter = self.control.parameters.ipm_maxiter
+        ipm.iteration_callback = self._checkpoint_tick
         ipm.driver(kkt, self.iterate, self.info)
         self.info.time_ipm2 = perf_counter() - t0
 

@@ -62,6 +62,12 @@ class Parameters:
     device: str = "auto"            # "auto" | "cpu" | "tpu": where CR/SpMV run
     precision: str = "f64"          # device arithmetic: "f64" | "f32"
 
+    # --- Checkpoint/resume (no counterpart in the reference) ---
+    checkpoint_file: Optional[str] = None  # write .npz checkpoints here
+    checkpoint_interval: float = 60.0      # seconds between mid-solve writes;
+                                           # 0 = every IPM iteration, <0 = only
+                                           # the final (pre-postsolve) write
+
     def copy(self) -> "Parameters":
         return dataclasses.replace(self)
 

@@ -43,6 +43,8 @@ class Errflag(enum.IntEnum):
     INVALID_MATRIX = 104
     INVALID_VECTOR = 105
     INVALID_BASIS = 107
+    INVALID_CHECKPOINT = 108   # no reference counterpart (checkpointing is
+                               # a capability this build adds, SURVEY §5.4)
     # CR method
     CR_ITER_LIMIT = 201
     CR_MATRIX_NOT_POSDEF = 202
@@ -102,6 +104,7 @@ IPX_ERROR_invalid_dimension = int(Errflag.INVALID_DIMENSION)
 IPX_ERROR_invalid_matrix = int(Errflag.INVALID_MATRIX)
 IPX_ERROR_invalid_vector = int(Errflag.INVALID_VECTOR)
 IPX_ERROR_invalid_basis = int(Errflag.INVALID_BASIS)
+IPX_ERROR_invalid_checkpoint = int(Errflag.INVALID_CHECKPOINT)
 IPX_ERROR_cr_iter_limit = int(Errflag.CR_ITER_LIMIT)
 IPX_ERROR_cr_matrix_not_posdef = int(Errflag.CR_MATRIX_NOT_POSDEF)
 IPX_ERROR_cr_precond_not_posdef = int(Errflag.CR_PRECOND_NOT_POSDEF)
