@@ -39,7 +39,8 @@ Returns `(status, info, interior, basic)` where `interior`/`basic` are
 `PyObject`s exposing x, xl, xu, slack, y, zl, zu / x, slack, y, z, vbasis,
 cbasis as arrays.
 """
-function solve(model::Model; kwargs...)
+function solve(model::Model; resume_from::AbstractString="",
+               checkpoint_to::AbstractString="", kwargs...)
     h = capi.ipx_new()
     try
         p = capi.ipx_get_parameters(h)
@@ -58,7 +59,14 @@ function solve(model::Model; kwargs...)
                                       m, Ap, Ai, Ax, model.rhs,
                                       model.constr_type)
         errflag == 0 || error("ipx_load_model failed: $errflag")
+        if !isempty(resume_from)
+            errflag = capi.ipx_load_checkpoint(h, resume_from)
+            errflag == 0 || error("ipx_load_checkpoint failed: $errflag")
+        end
         status = capi.ipx_solve(h)
+        if !isempty(checkpoint_to)
+            capi.ipx_save_checkpoint(h, checkpoint_to)
+        end
         info = capi.ipx_get_info(h)
         interior = capi.ipx_get_interior_solution(h)
         basic = capi.ipx_get_basic_solution(h)

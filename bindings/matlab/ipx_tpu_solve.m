@@ -10,7 +10,10 @@ function [x, info, basis] = ipx_tpu_solve(model, params)
 %   obj (n x 1), lb (n x 1), ub (n x 1), A (m x n sparse),
 %   rhs (m x 1), constr_type (1 x m char: '=', '<', '>')
 % params: optional struct; field names mirror the reference parameters
-%   (e.g. params.crossover = 0, params.ipm_maxiter = 500).
+%   (e.g. params.crossover = 0, params.ipm_maxiter = 500). Two extra
+%   fields drive checkpoint/resume (capability beyond the reference):
+%   params.resume_from (path of an .npz checkpoint to continue from) and
+%   params.checkpoint_to (path to write the final pre-postsolve state to).
 %
 % Returns:
 %   x      primal solution of the basic (vertex) solution if crossover ran,
@@ -22,7 +25,17 @@ capi = py.importlib.import_module('ipx_tpu.capi');
 h = capi.ipx_new();
 cleanup = onCleanup(@() capi.ipx_free(h));
 
+resume_from = '';
+checkpoint_to = '';
 if nargin > 1 && ~isempty(params)
+    if isfield(params, 'resume_from')
+        resume_from = params.resume_from;
+        params = rmfield(params, 'resume_from');
+    end
+    if isfield(params, 'checkpoint_to')
+        checkpoint_to = params.checkpoint_to;
+        params = rmfield(params, 'checkpoint_to');
+    end
     p = capi.ipx_get_parameters(h);
     fn = fieldnames(params);
     for k = 1:numel(fn)
@@ -47,7 +60,15 @@ errflag = capi.ipx_load_model(h, int64(ncols), model.obj, model.lb, ...
     model.constr_type);
 assert(double(errflag) == 0, 'ipx_load_model failed: %d', double(errflag));
 
+if ~isempty(resume_from)
+    errflag = capi.ipx_load_checkpoint(h, resume_from);
+    assert(double(errflag) == 0, 'ipx_load_checkpoint failed: %d', ...
+        double(errflag));
+end
 capi.ipx_solve(h);
+if ~isempty(checkpoint_to)
+    capi.ipx_save_checkpoint(h, checkpoint_to);
+end
 info = capi.ipx_get_info(h);
 
 basic = capi.ipx_get_basic_solution(h);
