@@ -3,7 +3,13 @@
 Counterpart of the reference example (reference: example/afiro.cc). The LP:
 9 constraints, 12 variables, optimal objective -464.75314.
 """
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 from ipx_tpu import LpSolver, Parameters
 

@@ -4,10 +4,14 @@ Capability with no counterpart in the reference solver: many LPs sharing one
 constraint matrix with perturbed rhs/cost solve simultaneously, the whole
 interior point method running as jitted device code.
 """
+import os
 import sys
 
 import numpy as np
 import scipy.sparse as sp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def main(batch=16):
