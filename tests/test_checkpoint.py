@@ -140,6 +140,50 @@ def test_resume_preserves_phase2_state_machine():
     assert info2.objval == pytest.approx(ref.objval, rel=1e-6, abs=1e-7)
 
 
+def test_resume_from_phase1_checkpoint_builds_basis():
+    """A checkpoint taken before the phase switch has no basis; resume must
+    construct a starting basis from the restored iterate and still reach
+    the optimum."""
+    s1 = _solve_limited(2)   # afiro switches after ~5 initial iterations
+    ckpt = s1.get_checkpoint()
+    assert ckpt is not None
+    assert "basis" not in ckpt
+
+    s2 = LpSolver(params())
+    assert afiro().load_into(s2) == 0
+    assert s2.load_checkpoint(ckpt) == 0
+    s2.solve()
+    info = s2.get_info()
+    assert info.status == int(Status.SOLVED)
+    assert info.objval == pytest.approx(AFIRO_OBJECTIVE, abs=1e-6)
+
+
+def test_resume_dualized_and_scaled_model():
+    """Checkpoints live in solver-model space, so resume works for dualized
+    and scaled models too (unlike the reference's user warm start, which is
+    refused when the model was dualized, src/lp_solver.cc:337-347)."""
+    s1 = LpSolver(params(dualize=1, scale=1, ipm_maxiter=4))
+    assert afiro().load_into(s1) == 0
+    s1.solve()
+    ckpt = s1.get_checkpoint()
+    assert ckpt is not None
+
+    s2 = LpSolver(params(dualize=1, scale=1))
+    assert afiro().load_into(s2) == 0
+    assert s2.load_checkpoint(ckpt) == 0
+    s2.solve()
+    info = s2.get_info()
+    assert info.status == int(Status.SOLVED)
+    assert info.objval == pytest.approx(AFIRO_OBJECTIVE, abs=1e-6)
+
+    # but a checkpoint from different preprocessing must be refused
+    s3 = LpSolver(params(dualize=0))
+    assert afiro().load_into(s3) == 0
+    assert s3.load_checkpoint(ckpt) == 0
+    s3.solve()
+    assert s3.get_info().errflag == int(Errflag.INVALID_CHECKPOINT)
+
+
 def test_capi_checkpoint_surface(tmp_path):
     from ipx_tpu import capi
     path = str(tmp_path / "capi_ckpt.npz")
