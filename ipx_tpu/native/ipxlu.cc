@@ -78,6 +78,13 @@ struct IpxLu {
     // PFI update state
     std::vector<Eta> etas;
     ipxint eta_nnz = 0;
+    // Accumulated eta-application work (nnz traversed) since the last
+    // factorization. Every solve pays O(eta_nnz) for the eta chain even
+    // when the triangular part is hypersparse, so once this exceeds a
+    // multiple of the factor size a refactorization amortizes (same
+    // cost-driven refresh idea as the reference's update_cost test,
+    // reference: src/basiclu_wrapper.cc:278-287).
+    double eta_work = 0.0;
 
     // pending update data
     std::vector<double> ftran_sol;   // dense, basis-position space
@@ -194,6 +201,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     const double abstol = strict_abs ? 1e-3 : 1e-14;  // kLuDependencyTol
     lu.etas.clear();
     lu.eta_nnz = 0;
+    lu.eta_work = 0.0;
     lu.have_ftran = false;
     lu.btran_pos = -1;
     lu.dependent.clear();
@@ -807,6 +815,7 @@ static void dense_ltsolve(const SparseCols& Lt, double* x, ipxint m) {
 
 // Applies eta inverses for FTRAN: x := E^{-1} x for each eta in order.
 static void apply_etas_ftran(IpxLu& lu, double* x) {
+    lu.eta_work += (double)lu.eta_nnz;
     for (const Eta& e : lu.etas) {
         double xp = x[e.pos] / e.diag;
         if (x[e.pos] != 0.0 || xp != 0.0) {
@@ -821,6 +830,7 @@ static void apply_etas_ftran(IpxLu& lu, double* x) {
 // Applies eta inverse transposes for BTRAN (most recent first):
 // u = E^{-T} b: u_p = (b_p - w_off·b_off)/w_p.
 static void apply_etas_btran(IpxLu& lu, double* x) {
+    lu.eta_work += (double)lu.eta_nnz;
     for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
         const Eta& e = *it;
         double acc = x[e.pos];
@@ -867,10 +877,12 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
     lu.flagstamp++;
     const ipxint st = lu.flagstamp;
     for (ipxint t = 0; t < nz; t++) lu.flag[pat[t]] = st;
+    lu.eta_work += (double)lu.etas.size();   // chain scan cost
     for (const Eta& e : lu.etas) {
         double xp = x[e.pos];
         if (xp == 0.0) continue;
         xp /= e.diag;
+        lu.eta_work += (double)e.idx.size();
         x[e.pos] = xp;
         for (size_t t = 0; t < e.idx.size(); t++) {
             ipxint j = e.idx[t];
@@ -949,6 +961,7 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
     s[pos] = 1.0;
     lu.flag[pos] = bst;
     spat[ns++] = pos;
+    lu.eta_work += (double)lu.eta_nnz;   // the transpose pass dots every eta
     for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
         const Eta& e = *it;
         double acc = s[e.pos];
@@ -1058,6 +1071,15 @@ static ipxint need_fresh_impl(IpxLu& lu) {
     if ((ipxint)lu.etas.size() >= lu.m)
         return 1;
     if (lu.eta_nnz > lu.factor_nnz)
+        return 1;
+    // Amortized refresh: total eta-application work since the last
+    // factorization is bounded to a constant multiple of the factor size,
+    // so long hypersparse solve sequences (crossover pushes) cannot spend
+    // unbounded time re-applying a growing eta chain.
+    // The multiple calibrates eta traversal cost (~1.5 ns/nnz, branchy
+    // streaming) against refactorization cost (~70 ns/nnz incl. Markowitz
+    // search), so a refresh pays for itself in saved eta passes.
+    if (lu.eta_work > 40.0 * (double)lu.factor_nnz)
         return 1;
     return 0;
 }
