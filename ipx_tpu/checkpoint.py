@@ -90,7 +90,22 @@ def has_basis(ckpt: Dict[str, np.ndarray]) -> bool:
 
 
 def save_npz(ckpt: Dict[str, np.ndarray], path: str) -> None:
-    np.savez_compressed(path, **ckpt)
+    """Atomic write: a crash mid-write must not corrupt the previous good
+    checkpoint (the exact event checkpointing exists to survive), so write
+    to a temp file in the same directory and os.replace() it over the
+    target."""
+    import os
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **ckpt)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_npz(path: str) -> Dict[str, np.ndarray]:

@@ -138,6 +138,7 @@ class LpSolver:
         self.iterate = None
         self.basis = None
         self._checkpoint = None
+        self._ckpt_last_write = 0.0
         self.simplex_iterate = None
         self.interior_solution = None
         self.basic_solution = None
@@ -381,6 +382,22 @@ class LpSolver:
                              " model; refusing to resume.\n")
             info.errflag = int(Errflag.INVALID_CHECKPOINT)
             return False
+        # Shape validation: a fingerprint match does not guarantee the
+        # arrays themselves are well-formed (a hand-built dict could hold
+        # truncated arrays); reject rather than crash downstream.
+        nva = self.model.num_var_all
+        m = self.model.num_rows
+        bad = any(np.asarray(ckpt[k]).shape != (nva,)
+                  for k in ("x", "xl", "xu", "zl", "zu", "state"))
+        bad = bad or np.asarray(ckpt["y"]).shape != (m,)
+        if _ckpt.has_basis(ckpt):
+            bad = bad or np.asarray(ckpt["basis"]).shape != (m,) \
+                or np.asarray(ckpt["map2basis"]).shape != (nva,)
+        if bad:
+            self.control.log(" Checkpoint arrays have inconsistent shapes;"
+                             " refusing to resume.\n")
+            info.errflag = int(Errflag.INVALID_CHECKPOINT)
+            return False
         it = self.iterate
         it.x = np.array(ckpt["x"], dtype=float)
         it.xl = np.array(ckpt["xl"], dtype=float)
@@ -399,6 +416,28 @@ class LpSolver:
         self.basis.basis = np.array(ckpt["basis"], dtype=np.int64)
         self.basis.map2basis = np.array(ckpt["map2basis"], dtype=np.int64)
         errflag = self.basis.factorize()
+        if errflag == int(Errflag.BASIS_SINGULAR):
+            # factorize() already repaired the basis by substituting slack
+            # columns for the dependent positions (the factors represent the
+            # patched basis exactly), so a slightly stale checkpoint resumes
+            # with the repaired basis instead of aborting.  A corrupt
+            # checkpoint (e.g. duplicated basic column) can leave map2basis
+            # pointing away from the repaired basis; reconcile the pair.
+            b = self.basis
+            if np.unique(b.basis).size != m:
+                info.errflag = int(Errflag.INVALID_CHECKPOINT)
+                return False
+            jb = b.basis
+            pos = np.arange(m)
+            was_free = (b.map2basis[jb] >= m) \
+                & (b.map2basis[jb] - m == pos)
+            b.map2basis[jb] = np.where(was_free, pos + m, pos)
+            nonbasic = np.ones(nva, dtype=bool)
+            nonbasic[jb] = False
+            b.map2basis[nonbasic & (b.map2basis >= 0)] = -1
+            self.control.log(" Restored basis was singular; repaired with"
+                             " slack columns.\n")
+            return True
         if errflag:
             info.errflag = errflag
             return False

@@ -109,6 +109,70 @@ def test_load_checkpoint_rejects_malformed():
         Errflag.INVALID_CHECKPOINT)
 
 
+def test_resume_rejects_mis_sized_arrays():
+    """A checkpoint whose fingerprint matches but whose arrays are truncated
+    must fail with INVALID_CHECKPOINT, not crash into INTERNAL_ERROR."""
+    s1 = _solve_limited(4)
+    ckpt = dict(s1.get_checkpoint())
+    ckpt["x"] = ckpt["x"][:-3]          # truncate one iterate array
+
+    s2 = LpSolver(params())
+    assert afiro().load_into(s2) == 0
+    assert s2.load_checkpoint(ckpt) == 0   # armed; validated at solve
+    s2.solve()
+    info = s2.get_info()
+    assert info.errflag == int(Errflag.INVALID_CHECKPOINT)
+    assert info.status_ipm == int(SolveStatus.FAILED)
+
+
+def test_resume_with_singular_restored_basis_repairs_and_continues():
+    """A stale checkpoint whose basis is singular resumes with the repaired
+    (slack-patched) basis instead of aborting."""
+    data = random_lp(60, 90, density=0.15, seed=11)
+    s_full = LpSolver(params(dualize=0))
+    assert s_full.load_model(**data) == 0
+    s_full.solve()
+    ref = s_full.get_info()
+
+    stop = max(3, ref.iter - 3)
+    s1 = LpSolver(params(dualize=0, ipm_maxiter=stop))
+    assert s1.load_model(**data) == 0
+    s1.solve()
+    ckpt = dict(s1.get_checkpoint())
+    assert "basis" in ckpt
+    # Corrupt the basis into a singular one: duplicate a structural column.
+    basis = np.array(ckpt["basis"])
+    struct = np.where(basis < s1.model.num_cols)[0]
+    assert struct.size >= 2
+    m2b = np.array(ckpt["map2basis"])
+    m2b[basis[struct[1]]] = -1
+    basis[struct[1]] = basis[struct[0]]
+    ckpt["basis"], ckpt["map2basis"] = basis, m2b
+
+    s2 = LpSolver(params(dualize=0))
+    assert s2.load_model(**data) == 0
+    assert s2.load_checkpoint(ckpt) == 0
+    s2.solve()
+    info = s2.get_info()
+    assert info.errflag == 0
+    assert info.status == int(Status.SOLVED)
+    assert info.objval == pytest.approx(ref.objval, rel=1e-6, abs=1e-7)
+
+
+def test_save_checkpoint_atomic(tmp_path):
+    """save_npz swaps the file in atomically and leaves no .tmp behind."""
+    path = str(tmp_path / "atomic.npz")
+    s = _solve_limited(4)
+    assert s.save_checkpoint(path) == 0
+    assert s.save_checkpoint(path) == 0   # overwrite goes through the swap
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    # the file on disk is a complete, loadable checkpoint
+    s2 = LpSolver(params())
+    assert afiro().load_into(s2) == 0
+    assert s2.load_checkpoint(path) == 0
+
+
 def test_resume_preserves_phase2_state_machine():
     """Checkpoint taken after the phase switch restores the basis and the
     implied/fixed variable states exactly (map2basis round trip)."""
