@@ -78,13 +78,14 @@ struct IpxLu {
     // PFI update state
     std::vector<Eta> etas;
     ipxint eta_nnz = 0;
-    // Accumulated eta-application work (nnz traversed) since the last
-    // factorization. Every solve pays O(eta_nnz) for the eta chain even
-    // when the triangular part is hypersparse, so once this exceeds a
-    // multiple of the factor size a refactorization amortizes (same
-    // cost-driven refresh idea as the reference's update_cost test,
-    // reference: src/basiclu_wrapper.cc:278-287).
-    double eta_work = 0.0;
+    // Measured wall-clock seconds spent applying the eta chain since the
+    // last factorization. Every solve pays for the chain even when the
+    // triangular part is hypersparse, so once this exceeds the (also
+    // measured) cost of a refactorization, refreshing amortizes — the same
+    // cost-driven refresh idea as the reference's update_cost test
+    // (reference: src/basiclu_wrapper.cc:278-287), but with both sides of
+    // the trade measured rather than modeled.
+    double t_eta = 0.0;
 
     // pending update data
     std::vector<double> ftran_sol;   // dense, basis-position space
@@ -107,6 +108,7 @@ struct IpxLu {
 
     // factorization phase timings (seconds, accumulated)
     double t_search = 0.0, t_elim = 0.0, t_build = 0.0;
+    double t_last_factorize = 0.0;   // wall clock of the last factorize()
     ipxint elim_stamp = 0;        // monotone stamp counter (never reset)
 
     // factorization workspaces reused across calls (capacity persists)
@@ -203,10 +205,12 @@ struct CountList {
 int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
               const ipxint* Bi, const double* Bx, int strict_abs) {
     const ipxint m = lu.m;
+    const double t_fact0 = std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
     const double abstol = strict_abs ? 1e-3 : 1e-14;  // kLuDependencyTol
     lu.etas.clear();
     lu.eta_nnz = 0;
-    lu.eta_work = 0.0;
+    lu.t_eta = 0.0;
     lu.have_ftran = false;
     lu.btran_pos = -1;
     lu.dependent.clear();
@@ -686,6 +690,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     build(Ucols, Uvals, lu.colperm_inv, lu.Ut, lu.U);
 
     lu.t_build += now_s2() - tb0_;
+    lu.t_last_factorize = now_s2() - t_fact0;
     lu.factor_nnz = (ipxint)(lu.L.idx.size() + lu.U.idx.size()) + m;
     lu.have_factors = true;
     lu.work.assign(m, 0.0);
@@ -824,8 +829,11 @@ static void dense_ltsolve(const SparseCols& Lt, double* x, ipxint m) {
 }
 
 // Applies eta inverses for FTRAN: x := E^{-1} x for each eta in order.
+static double now_monotonic_s();
+
 static void apply_etas_ftran(IpxLu& lu, double* x) {
-    lu.eta_work += (double)lu.eta_nnz;
+    if (lu.etas.empty()) return;
+    const double t0 = now_monotonic_s();
     for (const Eta& e : lu.etas) {
         double xp = x[e.pos] / e.diag;
         if (x[e.pos] != 0.0 || xp != 0.0) {
@@ -835,12 +843,14 @@ static void apply_etas_ftran(IpxLu& lu, double* x) {
                     x[e.idx[t]] -= e.val[t] * xp;
         }
     }
+    lu.t_eta += now_monotonic_s() - t0;
 }
 
 // Applies eta inverse transposes for BTRAN (most recent first):
 // u = E^{-T} b: u_p = (b_p - w_off·b_off)/w_p.
 static void apply_etas_btran(IpxLu& lu, double* x) {
-    lu.eta_work += (double)lu.eta_nnz;
+    if (lu.etas.empty()) return;
+    const double t0 = now_monotonic_s();
     for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
         const Eta& e = *it;
         double acc = x[e.pos];
@@ -848,6 +858,7 @@ static void apply_etas_btran(IpxLu& lu, double* x) {
             acc -= e.val[t] * x[e.idx[t]];
         x[e.pos] = acc / e.diag;
     }
+    lu.t_eta += now_monotonic_s() - t0;
 }
 
 // Full dense FTRAN: solves B x = b. b and x in user spaces.
@@ -887,12 +898,11 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
     lu.flagstamp++;
     const ipxint st = lu.flagstamp;
     for (ipxint t = 0; t < nz; t++) lu.flag[pat[t]] = st;
-    lu.eta_work += (double)lu.etas.size();   // chain scan cost
+    const double t0 = now_monotonic_s();
     for (const Eta& e : lu.etas) {
         double xp = x[e.pos];
         if (xp == 0.0) continue;
         xp /= e.diag;
-        lu.eta_work += (double)e.idx.size();
         x[e.pos] = xp;
         for (size_t t = 0; t < e.idx.size(); t++) {
             ipxint j = e.idx[t];
@@ -903,6 +913,7 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
             }
         }
     }
+    lu.t_eta += now_monotonic_s() - t0;
     return nz;
 }
 
@@ -971,7 +982,7 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
     s[pos] = 1.0;
     lu.flag[pos] = bst;
     spat[ns++] = pos;
-    lu.eta_work += (double)lu.eta_nnz;   // the transpose pass dots every eta
+    const double t_eta0 = now_monotonic_s();
     for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
         const Eta& e = *it;
         double acc = s[e.pos];
@@ -983,6 +994,7 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
             spat[ns++] = e.pos;
         }
     }
+    if (!lu.etas.empty()) lu.t_eta += now_monotonic_s() - t_eta0;
     if (ns > m / 8) {
         // dense fallback; s already holds the eta-transformed rhs
         double* w = lu.workd.data();
@@ -1080,16 +1092,16 @@ static ipxint update_impl(IpxLu& lu, double pivot) {
 static ipxint need_fresh_impl(IpxLu& lu) {
     if ((ipxint)lu.etas.size() >= lu.m)
         return 1;
-    if (lu.eta_nnz > lu.factor_nnz)
+    if (lu.eta_nnz > 2 * lu.factor_nnz)     // memory / per-solve bound
         return 1;
-    // Amortized refresh: total eta-application work since the last
-    // factorization is bounded to a constant multiple of the factor size,
-    // so long hypersparse solve sequences (crossover pushes) cannot spend
-    // unbounded time re-applying a growing eta chain.
-    // The multiple calibrates eta traversal cost (~1.5 ns/nnz, branchy
-    // streaming) against refactorization cost (~70 ns/nnz incl. Markowitz
-    // search), so a refresh pays for itself in saved eta passes.
-    if (lu.eta_work > 40.0 * (double)lu.factor_nnz)
+    // Amortized (2-competitive) refresh: refactorize once the measured
+    // wall clock spent applying the eta chain since the last factorization
+    // matches the measured cost of that factorization. Both sides of the
+    // trade are measured, so the policy self-calibrates across basis
+    // families — dense-fill bases (expensive refactorize, dense etas) keep
+    // long chains, hypersparse network bases (cheap refactorize) refresh
+    // often.
+    if (lu.t_eta > std::max(lu.t_last_factorize, 1e-6))
         return 1;
     return 0;
 }
