@@ -138,6 +138,20 @@ struct IpxLu {
     std::vector<double> xw_bt, xw_ft;
     std::vector<ipxint> xw_btpat, xw_ftpat;
 
+    // Blocked candidate FTRANs (multi-RHS): when solves run dense (high
+    // fill), the factor traversal dominates and is identical for every
+    // rhs, so candidate columns known ahead (maxvolume / drop-dual lists)
+    // are solved TOGETHER in one blocked pass (row-major m x W so the
+    // per-entry axpy vectorizes over the block), then corrected per
+    // consumption by applying only the etas appended since the block was
+    // built. No reference counterpart (BASICLU solves one rhs at a time).
+    std::vector<double> bb_X;          // slot space, row-major (m, bb_W)
+    std::vector<ipxint> bb_cols;       // candidate column per slot, -1 used
+    ipxint bb_W = 0;
+    size_t bb_eta_base = 0;            // etas already applied to the block
+    ipxint bb_gen = -1;                // factorization generation of block
+    ipxint factor_gen = 0;             // bumped by every factorize()
+
     // splitted-normal operator state for the phase-2 CR loop
     // (counterpart of reference: src/splitted_normal_matrix.{h,cc}):
     // N is the nonbasic partition of AI in ORIGINAL row space, columns
@@ -691,6 +705,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
 
     lu.t_build += now_s2() - tb0_;
     lu.t_last_factorize = now_s2() - t_fact0;
+    lu.factor_gen++;                   // invalidates candidate ftran blocks
     lu.factor_nnz = (ipxint)(lu.L.idx.size() + lu.U.idx.size()) + m;
     lu.have_factors = true;
     lu.work.assign(m, 0.0);
@@ -1366,6 +1381,136 @@ static ipxint ftran_col_for_update(IpxLu& lu, ipxint jn, XoverCounts& c,
     }
     c.t_ftran += now_monotonic_s() - t0;
     return nz;
+}
+
+// Gate for the blocked candidate FTRAN: pays off when solves run dense
+// (fill makes the factor traversal the dominant, rhs-independent cost).
+static inline bool ftran_block_worthwhile(const IpxLu& lu, int ncand) {
+    return ncand >= 4 && lu.have_factors
+        && lu.factor_nnz >= 3 * lu.bnnz;
+}
+
+// Solves B X = [a_j1 .. a_jW] for up to W=16 candidate columns in ONE
+// blocked dense pass over the factors (+ the current eta chain), storing X
+// in basis-slot space. Each consumption (ftran_from_block) then applies
+// only the etas appended since.
+static void ftran_block_build(IpxLu& lu, const ipxint* cols, int W,
+                              XoverCounts& c) {
+    const ipxint m = lu.m, n = lu.mb_n;
+    double t0 = now_monotonic_s();
+    lu.bb_X.assign((size_t)m * W, 0.0);
+    lu.bb_cols.assign(cols, cols + W);
+    lu.bb_W = W;
+    double* X = lu.bb_X.data();
+    // scatter rhs columns into row-permuted position space
+    for (int t = 0; t < W; t++) {
+        ipxint j = cols[t];
+        if (j < n) {
+            for (ipxint p = lu.mb_Ap[j]; p < lu.mb_Ap[j + 1]; p++)
+                X[(size_t)lu.rowperm_inv[lu.mb_Ai[p]] * W + t] =
+                    lu.mb_Ax[p];
+        } else {
+            X[(size_t)lu.rowperm_inv[j - n] * W + t] = 1.0;
+        }
+    }
+    // blocked L solve (unit diagonal, ascending positions)
+    for (ipxint k = 0; k < m; k++) {
+        const double* xk = X + (size_t)k * W;
+        bool any = false;
+        for (int t = 0; t < W; t++) any = any || (xk[t] != 0.0);
+        if (!any) continue;
+        for (ipxint p = lu.L.ptr[k]; p < lu.L.ptr[k + 1]; p++) {
+            double* xi = X + (size_t)lu.L.idx[p] * W;
+            const double lv = lu.L.val[p];
+            for (int t = 0; t < W; t++) xi[t] -= lv * xk[t];
+        }
+    }
+    // blocked U solve (explicit diagonal, descending positions)
+    for (ipxint k = m - 1; k >= 0; k--) {
+        double* xk = X + (size_t)k * W;
+        const double d = lu.Udiag[k];
+        bool any = false;
+        for (int t = 0; t < W; t++) {
+            xk[t] /= d;
+            any = any || (xk[t] != 0.0);
+        }
+        if (!any) continue;
+        for (ipxint p = lu.U.ptr[k]; p < lu.U.ptr[k + 1]; p++) {
+            double* xi = X + (size_t)lu.U.idx[p] * W;
+            const double uv = lu.U.val[p];
+            for (int t = 0; t < W; t++) xi[t] -= uv * xk[t];
+        }
+    }
+    // permute rows into basis-slot space (slot of position k is colperm[k])
+    {
+        std::vector<double>& tmp = lu.workd;    // reuse; m >= W rows copied
+        static thread_local std::vector<double> X2v;
+        (void)tmp;
+        X2v.assign((size_t)m * W, 0.0);
+        double* X2 = X2v.data();
+        for (ipxint k = 0; k < m; k++)
+            std::memcpy(X2 + (size_t)lu.colperm[k] * W,
+                        X + (size_t)k * W, W * sizeof(double));
+        lu.bb_X.swap(X2v);
+        X = lu.bb_X.data();
+    }
+    // apply the existing eta chain, blocked
+    for (const Eta& e : lu.etas) {
+        double* xp = X + (size_t)e.pos * W;
+        bool any = false;
+        for (int t = 0; t < W; t++) {
+            xp[t] /= e.diag;
+            any = any || (xp[t] != 0.0);
+        }
+        if (!any) continue;
+        for (size_t q = 0; q < e.idx.size(); q++) {
+            double* xi = X + (size_t)e.idx[q] * W;
+            const double ev = e.val[q];
+            for (int t = 0; t < W; t++) xi[t] -= ev * xp[t];
+        }
+    }
+    lu.bb_eta_base = lu.etas.size();
+    lu.bb_gen = lu.factor_gen;
+    c.t_ftran += now_monotonic_s() - t0;
+}
+
+// Consumes candidate jn from the block: copies its column into the staged
+// FTRAN solution (lu.xw_ft + lu.ftran_sol) and applies the etas appended
+// after the block was built. Returns nz (-1 dense) like
+// ftran_col_for_update, or -2 when the block cannot serve jn.
+static ipxint ftran_from_block(IpxLu& lu, ipxint jn, XoverCounts& c,
+                               bool count) {
+    if (lu.bb_gen != lu.factor_gen || lu.bb_W == 0)
+        return -2;
+    int slot = -1;
+    for (int t = 0; t < lu.bb_W; t++)
+        if (lu.bb_cols[t] == jn) { slot = t; break; }
+    if (slot < 0)
+        return -2;
+    const ipxint m = lu.m;
+    double t0 = now_monotonic_s();
+    double* x = lu.xw_ft.data();
+    const double* X = lu.bb_X.data();
+    const int W = (int)lu.bb_W;
+    for (ipxint k = 0; k < m; k++) x[k] = X[(size_t)k * W + slot];
+    // etas appended since the block was built
+    for (size_t q = lu.bb_eta_base; q < lu.etas.size(); q++) {
+        const Eta& e = lu.etas[q];
+        double xp = x[e.pos] / e.diag;
+        if (x[e.pos] != 0.0 || xp != 0.0) {
+            x[e.pos] = xp;
+            if (xp != 0.0)
+                for (size_t t = 0; t < e.idx.size(); t++)
+                    x[e.idx[t]] -= e.val[t] * xp;
+        }
+    }
+    std::memcpy(lu.ftran_sol.data(), x, m * sizeof(double));
+    lu.ftran_pat_valid = false;
+    lu.have_ftran = true;
+    lu.bb_cols[slot] = -1;
+    if (count) c.nftran++;
+    c.t_ftran += now_monotonic_s() - t0;
+    return -1;
 }
 
 // ExchangeIfStable (counterpart of reference: src/basis.cc:286-322).
@@ -2805,7 +2950,21 @@ ipxint ipxlu_drop_dual(void* h, ipxint* basis, ipxint* map2basis,
         if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
         ipxint jn = candidates[ncand - 1 - *next_i];
         double s = colscale[jn];
-        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+        ipxint fnz = ftran_from_block(lu, jn, c, true);
+        if (fnz == -2) {
+            ipxint remaining = ncand - *next_i;
+            if (ftran_block_worthwhile(lu, (int)std::min<ipxint>(remaining,
+                                                                 16))) {
+                ipxint blk[16];
+                int W = (int)std::min<ipxint>(remaining, 16);
+                for (int t = 0; t < W; t++)
+                    blk[t] = candidates[ncand - 1 - *next_i - t];
+                ftran_block_build(lu, blk, W, c);
+                fnz = ftran_from_block(lu, jn, c, true);
+            }
+            if (fnz == -2)
+                fnz = ftran_col_for_update(lu, jn, c, true);
+        }
         ipxint pmax = -1;
         double vmax = 0.0;
         auto score = [&](ipxint p, double piv) {
@@ -3109,7 +3268,19 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
             continue;
         }
 
-        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+        ipxint fnz = ftran_from_block(lu, jn, c, true);
+        if (fnz == -2) {
+            if (ftran_block_worthwhile(lu, std::min(ncand, 16))) {
+                ipxint blk[16];
+                int W = std::min(ncand, 16);
+                for (int t = 0; t < W; t++)
+                    blk[t] = cand[ncand - 1 - t];
+                ftran_block_build(lu, blk, W, c);
+                fnz = ftran_from_block(lu, jn, c, true);
+            }
+            if (fnz == -2)
+                fnz = ftran_col_for_update(lu, jn, c, true);
+        }
         double dn = cs[jn];
         ipxint pmax = -1;
         double vmax = 0.0;

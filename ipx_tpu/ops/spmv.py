@@ -42,11 +42,11 @@ class SpmvOperand:
     """Host-side preprocessed arrays for one CSR/CSC direction."""
 
     def __init__(self, indptr: np.ndarray, indices: np.ndarray,
-                 data: np.ndarray, num_segments: int):
+                 data: np.ndarray, num_segments: int, dtype=np.float64):
         import jax.numpy as jnp
         nnz = len(data)
         idx = _pad_to(indices.astype(np.int64), LANES, 0)
-        vals = _pad_to(data.astype(np.float64), LANES, 0.0)
+        vals = _pad_to(data.astype(dtype), LANES, dtype(0.0))
         self.N = len(vals)
         self.R = self.N // LANES
         self.gather_idx = jnp.asarray(idx).reshape(-1, 1)
@@ -60,11 +60,11 @@ class SpmvOperand:
 _TRI_NP = np.triu(np.ones((LANES, LANES)), k=1)
 
 
-def _tri():
+def _tri(dtype):
     # converted per use: a numpy constant is safe to close over in any
     # trace, whereas caching a traced array would leak tracers
     import jax.numpy as jnp
-    return jnp.asarray(_TRI_NP)
+    return jnp.asarray(_TRI_NP.astype(dtype))
 
 
 def flat_cumsum(x, R: int):
@@ -73,7 +73,7 @@ def flat_cumsum(x, R: int):
     X = x.reshape(LANES, R).T            # X[r, l] = x[l*R + r]
     C = jnp.cumsum(X, axis=0)            # per-lane prefix (axis 0 supported)
     lane_totals = C[-1, :]
-    offsets = lane_totals @ _tri()       # exclusive prefix over lanes
+    offsets = lane_totals @ _tri(x.dtype)   # exclusive prefix over lanes
     C = C + offsets[None, :]
     return C.T.reshape(-1)
 
@@ -118,14 +118,17 @@ class NormalMatrixDevice:
     C v = A (W_struct * (A' v)) + W_slack * v
     """
 
-    def __init__(self, A_csc: sp.csc_matrix):
+    def __init__(self, A_csc: sp.csc_matrix, dtype=np.float64):
         A_csr = A_csc.tocsr()
         A_csr.sort_indices()
         m, n = A_csc.shape
         self.m, self.n = m, n
+        self.dtype = dtype
         # CSR operand computes A u; CSC operand computes A' v
-        self.op_A = SpmvOperand(A_csr.indptr, A_csr.indices, A_csr.data, m)
-        self.op_At = SpmvOperand(A_csc.indptr, A_csc.indices, A_csc.data, n)
+        self.op_A = SpmvOperand(A_csr.indptr, A_csr.indices, A_csr.data, m,
+                                dtype)
+        self.op_At = SpmvOperand(A_csc.indptr, A_csc.indices, A_csc.data, n,
+                                 dtype)
 
     def apply(self, W, v):
         """Single-vector C v in f64."""
