@@ -33,6 +33,11 @@ class NormalMatrix(LinearOperator):
     def reset_time(self) -> None:
         self.time = 0.0
 
+    def apply_vec(self, rhs: np.ndarray) -> np.ndarray:
+        """Plain matvec without the fused dot (refinement residuals)."""
+        lhs, _ = self._apply(rhs, False)
+        return lhs
+
     def _apply(self, rhs: np.ndarray, want_dot: bool):
         t0 = perf_counter()
         md = self.model

@@ -68,7 +68,8 @@ _ERRFLAG_MAP = {
 
 def _build_cr_fn(jax, nmd, m: int, n: int):
     """Builds the jitted CR solve over the scatter-free SpMV operands
-    (ipx_tpu.ops.spmv.NormalMatrixDevice)."""
+    (ipx_tpu.ops.spmv.NormalMatrixDevice). dtype follows the operand /
+    input arrays (f64, or f32 for the mixed-precision inner solve)."""
     jnp = jax.numpy
     lax = jax.lax
 
@@ -242,3 +243,108 @@ class DeviceNormalCR:
         dt = perf_counter() - t0
         # attribute ~80% of loop time to the matvec (dominant cost)
         return lhs, iters, err, dt, 0.8 * dt
+
+
+class MixedPrecisionDeviceCR:
+    """f32 device CR with f64 iterative refinement (the mixed-precision KKT
+    design of SURVEY §7.4: f32 matvecs where the work is, f64 accuracy at
+    the interface).
+
+    Each refinement step solves C dy = r with the WHOLE CR loop on device
+    in float32 (the f32 SpMV compiles in seconds on remote-compile TPU
+    backends where the f64 gather program takes minutes, and runs ~2x
+    faster per matvec), then recomputes the true residual r = rhs - C y in
+    float64 with ONE host matvec and restarts until the scaled infinity
+    norm meets the f64 tolerance. Classic defect correction: each pass
+    gains the ~6 digits f32 can resolve, so a handful of passes reach 1e-12.
+    """
+
+    MAX_REFINEMENTS = 30
+    # one f32 pass cannot reduce the scaled residual below ~1e-6 relative
+    F32_FLOOR = 1e-5
+
+    @classmethod
+    def worthwhile(cls, model: Model) -> bool:
+        return DeviceNormalCR.worthwhile(model)
+
+    def __init__(self, model: Model, W: np.ndarray, diag: np.ndarray,
+                 resscale: np.ndarray, host_apply=None):
+        jax = _get_jax()
+        jnp = jax.numpy
+        self.jax = jax
+        self.model = model
+        m, n = model.num_rows, model.num_cols
+        self.m, self.n = m, n
+
+        from .spmv import NormalMatrixDevice
+        if not hasattr(model, "_normal_device32"):
+            model._normal_device32 = NormalMatrixDevice(
+                model.A, dtype=np.float32)
+            model._device_cr32_fn = _build_cr_fn(
+                jax, model._normal_device32, m, n)
+        self._fn = model._device_cr32_fn
+        f32 = jnp.float32
+        self._W32 = jnp.asarray(W, dtype=f32)
+        self._diag32 = jnp.asarray(diag, dtype=f32)
+        self._resscale32 = jnp.asarray(resscale, dtype=f32)
+        # f64 host-side data for the refinement residual
+        self._W = np.asarray(W, dtype=np.float64)
+        self._resscale = np.asarray(resscale, dtype=np.float64)
+        self._host_apply = host_apply or self._default_host_apply
+
+    def _default_host_apply(self, y: np.ndarray) -> np.ndarray:
+        md = self.model
+        n = self.n
+        u = md.AIt_mul(y)
+        return md.AI_mul(self._W * u)
+
+    def _snorm(self, r: np.ndarray) -> float:
+        return float(np.max(np.abs(self._resscale * r), initial=0.0))
+
+    def solve(self, rhs: np.ndarray, tol: float, maxiter: int
+              ) -> Tuple[np.ndarray, int, int, float, float]:
+        """Returns (y, iters, errflag, total_time, matvec_time_estimate)."""
+        jax = self.jax
+        jnp = jax.numpy
+        if maxiter < 0:
+            maxiter = self.m + 100
+        t0 = perf_counter()
+        y = np.zeros(self.m)
+        r = np.asarray(rhs, dtype=np.float64).copy()
+        iters_total = 0
+        err = 0
+        snorm = self._snorm(r)
+        best_snorm = snorm
+        for _ in range(self.MAX_REFINEMENTS):
+            if snorm <= tol:
+                break
+            if iters_total >= maxiter:
+                err = int(Errflag.CR_ITER_LIMIT)
+                break
+            inner_tol = max(tol, self.F32_FLOOR * snorm)
+            dy, it, inner_err = self._fn(
+                0, self._W32, self._diag32, self._resscale32,
+                jnp.asarray(r, dtype=jnp.float32),
+                jnp.float32(inner_tol),
+                jnp.int64(maxiter - iters_total))
+            iters_total += int(it)
+            y = y + np.asarray(dy, dtype=np.float64)
+            r = np.asarray(rhs, dtype=np.float64) - self._host_apply(y)
+            new_snorm = self._snorm(r)
+            if not np.isfinite(new_snorm):
+                err = int(Errflag.CR_INF_OR_NAN)
+                break
+            if new_snorm > tol and new_snorm >= 0.9 * best_snorm:
+                # refinement stalled above tolerance: no further f32 pass
+                # can make progress
+                err = _ERRFLAG_MAP[int(inner_err)] \
+                    or int(Errflag.CR_NO_PROGRESS)
+                break
+            best_snorm = min(best_snorm, new_snorm)
+            snorm = new_snorm
+        else:
+            err = int(Errflag.CR_NO_PROGRESS)
+        if snorm <= tol:
+            err = 0
+        dt = perf_counter() - t0
+        return y, iters_total, err, dt, 0.8 * dt

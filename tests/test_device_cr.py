@@ -66,3 +66,48 @@ def test_device_cr_direct():
     res = rhs - (md.A @ (W[:n] * (y @ md.A_csr)) + W[n:] * y)
     assert np.max(np.abs(resscale * res)) <= 1e-9
     assert iters > 0
+
+
+def test_mixed_precision_cr_reaches_f64_tolerance():
+    """The f32-inner/f64-refinement solver must reach tolerances far below
+    what a single f32 solve can resolve (defect correction)."""
+    from ipx_tpu.model import Model
+    from ipx_tpu.user_model import UserModel
+    from ipx_tpu.presolve import Presolver
+    from ipx_tpu.control import Control
+    from ipx_tpu.ops.device_cr import MixedPrecisionDeviceCR
+    from ipx_tpu.sparse import normal_diag
+
+    a = random_lp(50, 70, density=0.2, seed=5)
+    um = UserModel()
+    assert um.load(a["num_constr"], a["num_var"], a["Ap"], a["Ai"], a["Ax"],
+                   a["rhs"], a["constr_type"], a["obj"], a["lb"],
+                   a["ub"]) == 0
+    md = Model()
+    ctrl = Control()
+    ctrl.parameters.display = 0
+    Presolver(um, md).presolve_model(ctrl)
+
+    m, n = md.num_rows, md.num_cols
+    rng = np.random.default_rng(0)
+    W = rng.uniform(0.5, 2.0, size=n + m)
+    diag = normal_diag(md.A, W)
+    resscale = 1.0 / np.sqrt(W[n:])
+    rhs = rng.standard_normal(m)
+
+    mcr = MixedPrecisionDeviceCR(md, W, diag, resscale)
+    y, iters, err, _, _ = mcr.solve(rhs, 1e-11, -1)
+    assert err == 0
+    res = rhs - (md.A @ (W[:n] * (y @ md.A_csr)) + W[n:] * y)
+    assert np.max(np.abs(resscale * res)) <= 1e-11
+    assert iters > 0
+
+
+def test_mixed_precision_cr_in_full_solve():
+    """device='tpu' (CPU backend under conftest) routes phase 1 through the
+    mixed-precision solver and still reaches the default tolerances."""
+    a = random_lp(80, 120, density=0.15, seed=9)
+    info_host = _solve("cpu", a)
+    info_dev = _solve("tpu", a)
+    assert info_dev.status == info_host.status
+    assert info_dev.objval == pytest.approx(info_host.objval, rel=1e-8)
