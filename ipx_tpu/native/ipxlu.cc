@@ -2076,6 +2076,26 @@ void ipxlu_tri_solve(void* h, double* x, ipxint which) {
     }
 }
 
+// Debug/test export: solve a candidate block with ftran_block_build and
+// extract every column through ftran_from_block (out column-major m x W).
+// Returns 0, or -1 when a column could not be served from the block.
+ipxint ipxlu_ftran_block_debug(void* h, const ipxint* cols, ipxint W,
+                               double* out) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    XoverCounts c;
+    c.fills = nullptr;
+    c.fills_cap = 0;
+    ftran_block_build(lu, cols, (int)W, c);
+    for (ipxint t = 0; t < W; t++) {
+        if (ftran_from_block(lu, cols[t], c, false) == -2)
+            return -1;
+        std::memcpy(out + (size_t)t * m, lu.ftran_sol.data(),
+                    m * sizeof(double));
+    }
+    return 0;
+}
+
 void ipxlu_get_phase_times(void* h, double* out3) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     out3[0] = lu.t_search;
@@ -2737,7 +2757,29 @@ ipxint ipxlu_xover_primal(void* h, ipxint* basis, ipxint* map2basis,
             move_to = ub[jn];
         double step = x[jn] - move_to;
 
-        ipxint fnz = ftran_col_for_update(lu, jn, c, true);
+        ipxint fnz = ftran_from_block(lu, jn, c, true);
+        if (fnz == -2) {
+            // block the next candidates from the push list (skipping those
+            // already at a bound under the current x)
+            if (ftran_block_worthwhile(lu, 4)) {
+                ipxint blk[16];
+                int W = 0;
+                for (ipxint q = *next_i; q < nvars && W < 16; q++) {
+                    ipxint j2 = variables[q];
+                    if (x[j2] == lb[j2] || x[j2] == ub[j2]
+                        || (x[j2] == 0.0 && std::isinf(lb[j2])
+                            && std::isinf(ub[j2])))
+                        continue;
+                    blk[W++] = j2;
+                }
+                if (W >= 4) {
+                    ftran_block_build(lu, blk, W, c);
+                    fnz = ftran_from_block(lu, jn, c, true);
+                }
+            }
+            if (fnz == -2)
+                fnz = ftran_col_for_update(lu, jn, c, true);
+        }
 
         // two-pass ratio test (reference: src/crossover.cc:359-416)
         ipxint pblock = -1;

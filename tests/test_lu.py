@@ -163,3 +163,76 @@ def test_generic_lu_kernel_full_solve():
         objs.append(s.get_info().objval)
     assert objs[0] == pytest.approx(AFIRO_OBJECTIVE, rel=1e-7)
     assert objs[1] == pytest.approx(objs[0], rel=1e-7)
+
+
+def test_blocked_ftran_matches_single():
+    """ftran_block_build/ftran_from_block (the multi-RHS candidate solver
+    used by maxvolume / drop-dual / crossover pushes) must reproduce
+    ftran_for_update exactly, including the eta chain correction."""
+    import ctypes as ct
+    import scipy.sparse as sp
+    from ipx_tpu.basis.basis import Basis
+    from ipx_tpu.basis.indexed_vector import IndexedVector
+    from ipx_tpu.control import Control
+    from ipx_tpu.model import Model
+    from ipx_tpu.presolve import Presolver
+    from ipx_tpu.user_model import UserModel
+    from lp_fixtures import random_lp
+
+    a = random_lp(80, 160, density=0.3, seed=13)
+    um = UserModel()
+    assert um.load(a["num_constr"], a["num_var"], a["Ap"], a["Ai"], a["Ax"],
+                   a["rhs"], a["constr_type"], a["obj"], a["lb"],
+                   a["ub"]) == 0
+    md = Model()
+    ctrl = Control()
+    ctrl.parameters.display = 0
+    Presolver(um, md).presolve_model(ctrl)
+    m, n = md.num_rows, md.num_cols
+
+    basis = Basis(ctrl, md)
+    basis.set_to_slack_basis()
+    basis.factorize()
+    # pivot some structural columns in to give the basis fill and create a
+    # PFI eta chain
+    lhs = IndexedVector(m)
+    rng = np.random.default_rng(0)
+    for j in rng.permutation(n)[:30]:
+        basis.solve_for_update(int(j), lhs)
+        nz = lhs.nonzero_indices()
+        vals = np.abs(lhs.values[nz])
+        k = int(np.argmax(vals))
+        if vals[k] < 1e-3:
+            continue
+        p = int(nz[k])
+        jb = int(basis.basis[p])
+        err, exchanged = basis.exchange_if_stable(jb, int(j),
+                                                  lhs.values[p], -1)
+        assert err == 0
+    lu = basis.lu
+    if not hasattr(lu, "lib"):
+        pytest.skip("native kernel unavailable")
+    # bind model arrays (the xover ctx does this binding)
+    from ipx_tpu.basis.crossover import _xover_native_ctx
+    ctx = _xover_native_ctx(basis)
+    assert ctx is not None
+    lib, handle = ctx
+    if not hasattr(lib, "_blockdbg_ready"):
+        I = ct.c_int64
+        IA = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        DA = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.ipxlu_ftran_block_debug.restype = I
+        lib.ipxlu_ftran_block_debug.argtypes = [ct.c_void_p, IA, I, DA]
+        lib._blockdbg_ready = True
+
+    cols = np.ascontiguousarray(
+        rng.permutation(n + m)[:8], dtype=np.int64)
+    out = np.zeros(8 * m)
+    assert lib.ipxlu_ftran_block_debug(handle, cols, 8, out) == 0
+
+    for t, j in enumerate(cols):
+        ref = IndexedVector(m)
+        lu.ftran_for_update(*md.AI_col(int(j)), lhs=ref)
+        got = out[t * m:(t + 1) * m]
+        scale = max(1.0, np.abs(ref.values).max())
+        assert np.abs(got - ref.values).max() / scale < 1e-12
