@@ -83,6 +83,7 @@ class IPM:
         # cheap native matvec switches later than optimal.)
         self.phase1_trend_switch = False
         self._kkt_iter_hist: list = []
+        self._prev_y = None
         # Called after each completed IPM iteration, at a point where the
         # (iterate, basis) pair is consistent; used by LpSolver for periodic
         # checkpoint writes (ipx_tpu/checkpoint.py).
@@ -167,6 +168,7 @@ class IPM:
         self.iterate = iterate
         self.info = info
         self.num_bad_iter = 0
+        self._prev_y = None
         if self.best_complementarity == 0.0:
             self.best_complementarity = iterate.complementarity()
 
@@ -332,8 +334,13 @@ class IPM:
         with np.errstate(invalid="ignore"):
             sl = np.where(blb, -it.xl * it.zl, 0.0)
             su = np.where(bub, -it.xu * it.zu, 0.0)
+        # Warm start from the previous iteration's combined direction: the
+        # KKT matrix changes only through the barrier weights, so late
+        # iterations' duals are strongly correlated (no reference
+        # counterpart — the reference always starts CR from zero).
+        y0 = -self._prev_y if self._prev_y is not None else None
         return self._solve_newton_system(it.rb(), it.rc(), it.rl(), it.ru(),
-                                         sl, su)
+                                         sl, su, y0=y0)
 
     def _add_corrector(self, step: Step) -> None:
         """reference: src/ipm.cc:373-436"""
@@ -442,6 +449,7 @@ class IPM:
         """reference: src/ipm.cc:520-531"""
         self._step_sizes(step)
         it = self.iterate
+        self._prev_y = step.y      # warm start for the next predictor
         it.update(self.step_primal, step.x, step.xl, step.xu,
                   self.step_dual, step.y, step.zl, step.zu)
         if min(self.step_primal, self.step_dual) < 0.05:
