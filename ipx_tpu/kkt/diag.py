@@ -127,6 +127,9 @@ class KKTSolverDiag(KKTSolver):
                 lib.ipxlu_cr_diag_explicit_warm.restype = I
                 lib.ipxlu_cr_diag_explicit_warm.argtypes = [
                     ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I]
+                lib.ipxlu_cr_diag_explicit_mixed.restype = I
+                lib.ipxlu_cr_diag_explicit_mixed.argtypes = [
+                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I]
                 lib._cr_ready = True
             self._native_cr = (lib, Ap, Ai, Ax, ct)
             self._prepare_explicit_normal(lib, Ap, Ai, Ax, ct)
@@ -231,7 +234,12 @@ class KKTSolverDiag(KKTSolver):
             iters = ct.c_int64(0)
             t0 = perf_counter()
             if self._nrm_handle is not None:
-                err = int(lib.ipxlu_cr_diag_explicit_warm(
+                # mixed precision (f32 inner CR + f64 defect correction,
+                # f64 finish on stall) unless precision="f64"
+                fn = (lib.ipxlu_cr_diag_explicit_warm
+                      if self.control.parameters.precision == "f64"
+                      else lib.ipxlu_cr_diag_explicit_mixed)
+                err = int(fn(
                     self._nrm_handle, self.precond.diagonal, self.resscale,
                     np.ascontiguousarray(rhs), tol, self.maxiter, deadline,
                     y, ct.byref(iters), warm))

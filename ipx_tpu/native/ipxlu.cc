@@ -1659,6 +1659,10 @@ struct NrmExplicit {
     std::vector<ipxint> Sp;
     std::vector<int32_t> Si;
     std::vector<double> Sx;
+    // f32 copy of the values for the mixed-precision CR (refreshed lazily
+    // from Sx by nrm_values32)
+    std::vector<float> Sx32;
+    bool sx32_fresh = false;
 };
 
 // Builds the pattern of S; returns nullptr if nnz(S) would exceed the cap.
@@ -1715,6 +1719,7 @@ static NrmExplicit* nrm_symbolic(ipxint m, ipxint n, const ipxint* Ap,
 // Numeric refresh: Sx for the given weights (O(sum_j c_j^2 + nnz(S))).
 static void nrm_values(NrmExplicit& h, const double* W) {
     const ipxint m = h.m, n = h.n;
+    h.sx32_fresh = false;
 #ifdef _OPENMP
     if (h.Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
 #pragma omp parallel
@@ -1805,23 +1810,73 @@ static double nrm_spmv_dot(const NrmExplicit& h, const double* rhs,
     return dot;
 }
 
+static void nrm_values32(NrmExplicit& h) {
+    if (h.sx32_fresh) return;
+    h.Sx32.resize(h.Sx.size());
+    const size_t nnz = h.Sx.size();
+    for (size_t q = 0; q < nnz; q++) h.Sx32[q] = (float)h.Sx[q];
+    h.sx32_fresh = true;
+}
+
+// f32 variant of the fused SpMV (half the value bandwidth; the dot
+// accumulates in double for stability).
+static double nrm_spmv_dot32(const NrmExplicit& h, const float* rhs,
+                             float* lhs) {
+    const ipxint m = h.m;
+    const ipxint* Sp = h.Sp.data();
+    const int32_t* Si = h.Si.data();
+    const float* Sx = h.Sx32.data();
+    double dot = 0.0;
+#ifdef _OPENMP
+    if (Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
+#pragma omp parallel reduction(+ : dot)
+        {
+            int nt = omp_get_num_threads();
+            int tid = omp_get_thread_num();
+            ipxint lo = (ipxint)(std::lower_bound(
+                Sp, Sp + m + 1, Sp[m] * tid / nt) - Sp);
+            ipxint hi = (ipxint)(std::lower_bound(
+                Sp, Sp + m + 1, Sp[m] * (tid + 1) / nt) - Sp);
+            if (tid == 0) lo = 0;
+            if (tid == nt - 1) hi = m;
+            for (ipxint i = lo; i < hi; i++) {
+                float v = 0.0f;
+                for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
+                    v += Sx[q] * rhs[Si[q]];
+                lhs[i] = v;
+                dot += (double)rhs[i] * v;
+            }
+        }
+        return dot;
+    }
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        float v = 0.0f;
+        for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
+            v += Sx[q] * rhs[Si[q]];
+        lhs[i] = v;
+        dot += (double)rhs[i] * v;
+    }
+    return dot;
+}
+
 // Preconditioned CR on the normal equations with a diagonal preconditioner;
 // the matvec is supplied as a functor so the same recurrence drives both
 // the one-pass product and the explicit-S product (counterpart of
 // reference: src/conjugate_residuals.cc:90-213).
 // Returns 0 ok, 201 iter limit, 202 matrix not posdef, 203 precond not
 // posdef, 204 no progress, 205 inf/nan, 999 deadline exceeded.
-template <class Apply>
-static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
-                           const double* resscale, const double* rhs,
+template <class T, class Apply>
+static ipxint cr_diag_core(ipxint m, Apply&& apply, const T* diag,
+                           const T* resscale, const T* rhs,
                            double tol, ipxint maxiter, double deadline_s,
-                           double* lhs, ipxint* out_iters,
+                           T* lhs, ipxint* out_iters,
                            bool warm = false) {
     if (maxiter < 0) maxiter = m + 100;
-    std::vector<double> residual(rhs, rhs + m);
-    std::vector<double> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
-    std::vector<double> inv_diag(m);
-    for (ipxint i = 0; i < m; i++) inv_diag[i] = 1.0 / diag[i];
+    std::vector<T> residual(rhs, rhs + m);
+    std::vector<T> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
+    std::vector<T> inv_diag(m);
+    for (ipxint i = 0; i < m; i++) inv_diag[i] = T(1.0) / diag[i];
     if (warm) {
         // lhs holds an initial guess: residual = rhs - C lhs (costs one
         // extra matvec; pays off when the guess is close, e.g. the
@@ -1837,14 +1892,14 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
     const bool par = false;
 #endif
 
-    auto precond = [&](const double* in, double* out) {
+    auto precond = [&](const T* in, T* out) {
         double dot = 0.0;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) reduction(+ : dot) if (par)
 #endif
         for (ipxint i = 0; i < m; i++) {
             out[i] = in[i] * inv_diag[i];
-            dot += out[i] * in[i];
+            dot += (double)out[i] * in[i];
         }
         return dot;
     };
@@ -1868,7 +1923,8 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
 #pragma omp parallel for schedule(static) reduction(max : resnorm) if (par)
 #endif
     for (ipxint i = 0; i < m; i++)
-        resnorm = std::max(resnorm, std::fabs(resscale[i] * residual[i]));
+        resnorm = std::max(resnorm,
+                           (double)std::fabs(resscale[i] * residual[i]));
 
     while (true) {
         if (resnorm <= tol) break;
@@ -1880,38 +1936,40 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const double* diag,
         double alpha = cdot / pdot;
         if (!std::isfinite(alpha)) { err = 205; break; }
         {
-            double* lh = lhs;
-            double* re = residual.data();
-            double* sre = sresidual.data();
-            const double* st = step.data();
-            const double* Cst = Cstep.data();
-            const double* pc = pcd.data();
+            T* lh = lhs;
+            T* re = residual.data();
+            T* sre = sresidual.data();
+            const T* st = step.data();
+            const T* Cst = Cstep.data();
+            const T* pc = pcd.data();
+            const T alphaT = (T)alpha;
             double rn = 0.0;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) reduction(max : rn) if (par)
 #endif
             for (ipxint i = 0; i < m; i++) {
-                lh[i] += alpha * st[i];
-                double r = re[i] - alpha * Cst[i];
+                lh[i] += alphaT * st[i];
+                T r = re[i] - alphaT * Cst[i];
                 re[i] = r;
-                sre[i] -= alpha * pc[i];
-                rn = std::max(rn, std::fabs(resscale[i] * r));
+                sre[i] -= alphaT * pc[i];
+                rn = std::max(rn, (double)std::fabs(resscale[i] * r));
             }
             resnorm = rn;
         }
         double cdot_new = apply(sresidual.data(), Csres.data());
         double beta = cdot_new / cdot;
         {
-            double* st = step.data();
-            double* Cst = Cstep.data();
-            const double* sre = sresidual.data();
-            const double* Cs = Csres.data();
+            T* st = step.data();
+            T* Cst = Cstep.data();
+            const T* sre = sresidual.data();
+            const T* Cs = Csres.data();
+            const T betaT = (T)beta;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (par)
 #endif
             for (ipxint i = 0; i < m; i++) {
-                st[i] = sre[i] + beta * st[i];
-                Cst[i] = Cs[i] + beta * Cst[i];
+                st[i] = sre[i] + betaT * st[i];
+                Cst[i] = Cs[i] + betaT * Cst[i];
             }
         }
         cdot = cdot_new;
@@ -2381,6 +2439,94 @@ ipxint ipxlu_cr_diag_explicit_warm(void* h, const double* diag,
     };
     return cr_diag_core(nh.m, apply, diag, resscale, rhs, tol, maxiter,
                         deadline_s, lhs, out_iters, warm != 0);
+}
+
+// Mixed-precision explicit-S CR: inner CR passes run entirely in float32
+// (half the value bandwidth on the SpMV and all recurrence vectors), with
+// float64 defect correction between passes — the true residual is
+// recomputed with one f64 SpMV and the f32 solve restarts on it. When an
+// f32 pass stops making progress above the tolerance (the normal matrix
+// gets too ill-conditioned for f32 late in phase 1), the solve FINISHES in
+// the f64 core, warm-started from the accumulated solution, so robustness
+// equals the f64 path. Same contract as ipxlu_cr_diag_explicit_warm.
+ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
+                                    const double* resscale,
+                                    const double* rhs, double tol,
+                                    ipxint maxiter, double deadline_s,
+                                    double* lhs, ipxint* out_iters,
+                                    ipxint warm) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    const ipxint m = nh.m;
+    if (maxiter < 0) maxiter = m + 100;
+    nrm_values32(nh);
+
+    auto apply64 = [&](const double* in, double* out) {
+        return nrm_spmv_dot(nh, in, out);
+    };
+    auto apply32 = [&](const float* in, float* out) {
+        return nrm_spmv_dot32(nh, in, out);
+    };
+
+    std::vector<double> r(m), Cy(m);
+    if (warm) {
+        apply64(lhs, Cy.data());
+        for (ipxint i = 0; i < m; i++) r[i] = rhs[i] - Cy[i];
+    } else {
+        std::fill(lhs, lhs + m, 0.0);
+        std::copy(rhs, rhs + m, r.begin());
+    }
+    auto snorm_of = [&]() {
+        double sn = 0.0;
+        for (ipxint i = 0; i < m; i++)
+            sn = std::max(sn, std::fabs(resscale[i] * r[i]));
+        return sn;
+    };
+
+    std::vector<float> diag32(m), resscale32(m), r32(m), dy32(m);
+    for (ipxint i = 0; i < m; i++) {
+        diag32[i] = (float)diag[i];
+        resscale32[i] = (float)resscale[i];
+    }
+
+    ipxint iters = 0;
+    ipxint err = 0;
+    double snorm = snorm_of();
+    const int kMaxRefine = 30;
+    // one f32 pass cannot reduce the scaled residual much below ~1e-5
+    // relative; ask for that and let the refinement loop do the rest
+    const double kF32Floor = 1e-5;
+    for (int ref = 0; ref < kMaxRefine; ref++) {
+        if (snorm <= tol) { *out_iters = iters; return 0; }
+        if (iters >= maxiter) { *out_iters = iters; return 201; }
+        double inner_tol = std::max(tol, kF32Floor * snorm);
+        for (ipxint i = 0; i < m; i++) r32[i] = (float)r[i];
+        ipxint it32 = 0;
+        ipxint e32 = cr_diag_core(m, apply32, diag32.data(),
+                                  resscale32.data(), r32.data(), inner_tol,
+                                  maxiter - iters, deadline_s, dy32.data(),
+                                  &it32, false);
+        iters += it32;
+        if (e32 == 999) { *out_iters = iters; return 999; }
+        for (ipxint i = 0; i < m; i++) lhs[i] += (double)dy32[i];
+        apply64(lhs, Cy.data());
+        for (ipxint i = 0; i < m; i++) r[i] = rhs[i] - Cy[i];
+        double new_snorm = snorm_of();
+        if (!std::isfinite(new_snorm)) { err = 205; break; }
+        if (new_snorm > tol && new_snorm >= 0.5 * snorm) {
+            err = e32;      // f32 stalled; finish in f64 below
+            break;
+        }
+        snorm = new_snorm;
+    }
+    if (snorm_of() <= tol) { *out_iters = iters; return 0; }
+    // f64 finish, warm-started from the accumulated solution
+    ipxint it64 = 0;
+    ipxint e64 = cr_diag_core(m, apply64, diag, resscale, rhs, tol,
+                              maxiter - iters, deadline_s, lhs, &it64,
+                              true);
+    *out_iters = iters + it64;
+    (void)err;
+    return e64;
 }
 
 // ---------------------------------------------------------------------

@@ -60,7 +60,11 @@ class Parameters:
 
     # --- TPU-specific (no counterpart in the reference) ---
     device: str = "auto"            # "auto" | "cpu" | "tpu": where CR/SpMV run
-    precision: str = "f64"          # device arithmetic: "f64" | "f32"
+    precision: str = "mixed"        # KKT-solve arithmetic: "mixed" runs the
+                                    # CR inner loop in f32 with f64 defect
+                                    # correction (same termination contract,
+                                    # f64 finish when f32 stalls); "f64"
+                                    # forces full double precision
 
     # --- Checkpoint/resume (no counterpart in the reference) ---
     checkpoint_file: Optional[str] = None  # write .npz checkpoints here
