@@ -135,6 +135,45 @@ class ShardedNormalMatrix:
                                   u, self.m_block)
         return out_p + W_slack_p * v_p
 
+    # -- batched (2D mesh) variants: V is (m_block, B_local) per device ---
+    def _apply_block_batched(self, idx, val, starts, ends, U, nseg_pad):
+        """A_block @ U for U (len, B); returns (nseg_pad, B). Same
+        scatter-free pattern as ops.spmv.apply_csr_batched."""
+        jax = _jx()
+        jnp = jax.numpy
+        B = U.shape[1]
+        # per-device blocks keep a leading singleton block axis
+        idx = idx.reshape(-1)
+        val = val.reshape(-1)
+        starts = starts.reshape(-1)
+        ends = ends.reshape(-1)
+        cap = idx.shape[0]
+        g = jnp.take_along_axis(U, jnp.broadcast_to(idx[:, None], (cap, B)),
+                                axis=0)
+        contrib = val[:, None] * g
+        c = jnp.cumsum(contrib, axis=0)
+        cext = jnp.concatenate([jnp.zeros((1, B), dtype=c.dtype), c], axis=0)
+        hi = jnp.take_along_axis(
+            cext, jnp.broadcast_to(ends[:, None], (nseg_pad, B)), axis=0)
+        lo = jnp.take_along_axis(
+            cext, jnp.broadcast_to(starts[:, None], (nseg_pad, B)), axis=0)
+        return hi - lo
+
+    def block_normal_apply_batched(self, blk, W, V_p, axis_name: str):
+        """Per-device batched normal apply: V_p (m_block, B_local);
+        W = (W_struct (n, B_local), W_slack_p (m_block, B_local)) carries
+        per-scenario weights. psum over the row axis assembles A' V."""
+        jax = _jx()
+        W_struct, W_slack_p = W
+        u_part = self._apply_block_batched(
+            blk["csc_idx"], blk["csc_val"], blk["csc_starts"],
+            blk["csc_ends"], V_p, self.n)
+        u = jax.lax.psum(u_part, axis_name) * W_struct
+        out_p = self._apply_block_batched(
+            blk["csr_idx"], blk["csr_val"], blk["csr_starts"],
+            blk["csr_ends"], u, self.m_block)
+        return out_p + W_slack_p * V_p
+
 
 def sharded_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
                      diag, rhs, tol: float, maxiter: int, mesh,
@@ -211,3 +250,95 @@ def sharded_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
         check_vma=False)
     y, iters = jax.jit(fn)(snm.arrays, W_struct, W_slack_p, diag_p, rhs_p)
     return np.asarray(y)[:snm.m], int(np.asarray(iters).ravel()[0])
+
+
+def sharded_batched_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
+                             diag, RHS, tol: float, maxiter: int, mesh,
+                             row_axis: str = "rows",
+                             batch_axis: str = "batch"):
+    """Scenario-batched, row-sharded CR over a 2D mesh (the composition of
+    the data-parallel and model-parallel axes, SURVEY §2.3): each device
+    holds one row block x one scenario shard. Per-scenario weights:
+    W_struct (n, B), W_slack/diag/RHS (m, B). Converged scenarios freeze
+    (masked updates) while the rest keep iterating. Returns (Y (m, B),
+    iters)."""
+    jax = _jx()
+    jnp = jax.numpy
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    nb = snm.num_blocks
+    mp = snm.m_block
+    m_pad = nb * mp
+    B = RHS.shape[1]
+
+    def pad_m(X):
+        out = np.zeros((m_pad, B))
+        out[:snm.m] = X
+        return out
+
+    RHS_p = jnp.asarray(pad_m(RHS))
+    W_slack_p = jnp.asarray(pad_m(W_slack))
+    diag_np = pad_m(diag)
+    diag_np[snm.m:] = 1.0          # padding rows keep the operator SPD
+    diag_p = jnp.asarray(diag_np)
+    W_struct = jnp.asarray(W_struct)
+
+    def cr_local(blk, W_struct, W_slack_p, diag_p, RHS_p):
+        inv_diag = 1.0 / diag_p
+
+        def C(V):
+            out = snm.block_normal_apply_batched(
+                blk, (W_struct, W_slack_p), V, row_axis)
+            dots = jax.lax.psum(jnp.sum(V * out, axis=0), row_axis)
+            return out, dots            # dots: (B_local,)
+
+        def P_(V):
+            out = V * inv_diag
+            dots = jax.lax.psum(jnp.sum(V * out, axis=0), row_axis)
+            return out, dots
+
+        Y0 = jnp.zeros_like(RHS_p)
+        R0 = RHS_p
+        S0, _ = P_(R0)
+        CS0, cdot0 = C(S0)
+        done0 = jnp.zeros(RHS_p.shape[1], dtype=bool)
+        state0 = (Y0, R0, S0, CS0, S0, CS0, cdot0, done0, jnp.int64(0))
+
+        def resnorms(R):
+            return jax.lax.pmax(jnp.max(jnp.abs(R), axis=0), row_axis)
+
+        def cond(state):
+            *_, done, it = state
+            return (~jnp.all(done)) & (it < maxiter)
+
+        def body(state):
+            Y, R, S, CS, D, CD, cdot, done, it = state
+            done = done | (resnorms(R) <= tol)
+            PCD, pdot = P_(CD)
+            alpha = jnp.where(done, 0.0, cdot / jnp.where(pdot == 0.0,
+                                                          1.0, pdot))
+            Y = Y + alpha[None, :] * D
+            R = R - alpha[None, :] * CD
+            S = S - alpha[None, :] * PCD
+            CS, cdot_new = C(S)
+            beta = jnp.where(done, 0.0,
+                             cdot_new / jnp.where(cdot == 0.0, 1.0, cdot))
+            D = jnp.where(done[None, :], D, S + beta[None, :] * D)
+            CD = jnp.where(done[None, :], CD, CS + beta[None, :] * CD)
+            cdot = jnp.where(done, cdot, cdot_new)
+            return (Y, R, S, CS, D, CD, cdot, done, it + 1)
+
+        state = jax.lax.while_loop(cond, body, state0)
+        return state[0], state[8]
+
+    spec_blk = {k: P(row_axis) for k in snm.arrays}
+    fn = shard_map(
+        cr_local, mesh=mesh,
+        in_specs=(spec_blk, P(None, batch_axis),
+                  P(row_axis, batch_axis), P(row_axis, batch_axis),
+                  P(row_axis, batch_axis)),
+        out_specs=(P(row_axis, batch_axis), P()),
+        check_vma=False)
+    Y, iters = jax.jit(fn)(snm.arrays, W_struct, W_slack_p, diag_p, RHS_p)
+    return np.asarray(Y)[:snm.m], int(np.asarray(iters).ravel()[0])

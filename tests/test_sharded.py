@@ -34,3 +34,34 @@ def test_sharded_cr_matches_direct():
     # check normal equations residual
     res = rhs - (A @ (W[:n] * (A.T @ y)) + W[n:] * y)
     assert np.max(np.abs(res)) <= 1e-9 * max(1.0, np.abs(rhs).max())
+
+
+def test_sharded_batched_cr_2d_mesh():
+    """Scenario-batched + row-sharded CR on a 2D (rows x batch) mesh with
+    per-scenario weights and per-scenario convergence freeze."""
+    from ipx_tpu.parallel.sharding import sharded_batched_cr_solve
+    devices = jax.local_devices(backend="cpu")
+    assert len(devices) >= 8
+    mesh = Mesh(np.array(devices[:8]).reshape(4, 2),
+                axis_names=("rows", "batch"))
+
+    a = random_lp(64, 90, density=0.15, seed=7)
+    A = sp.csc_matrix((a["Ax"], a["Ai"], a["Ap"]),
+                      shape=(a["num_constr"], a["num_var"]))
+    m, n = A.shape
+    B = 6
+    rng = np.random.default_rng(1)
+    W = rng.uniform(0.5, 2.0, size=(n + m, B))
+    A2 = A.copy()
+    A2.data = A2.data ** 2
+    diag = np.asarray(A2 @ W[:n]) + W[n:]
+    RHS = rng.standard_normal((m, B))
+
+    snm = ShardedNormalMatrix(A, num_blocks=4)
+    Y, iters = sharded_batched_cr_solve(
+        snm, W[:n], W[n:], diag, RHS, tol=1e-10, maxiter=2000, mesh=mesh)
+    assert iters > 0
+    for k in range(B):
+        w, y, rhs = W[:, k], Y[:, k], RHS[:, k]
+        res = rhs - (A @ (w[:n] * (A.T @ y)) + w[n:] * y)
+        assert np.max(np.abs(res)) <= 1e-9 * max(1.0, np.abs(rhs).max()), k
