@@ -172,3 +172,43 @@ def test_mps_ranges(tmp_path):
     assert data.load_into(s) == 0
     assert s.solve() == int(Status.SOLVED)
     assert s.get_info().objval == pytest.approx(3.0, abs=1e-7)
+
+
+def test_logparse_roundtrip(tmp_path):
+    """tools/logparse.py reconstructs Info fields and the per-iteration
+    history from a logfile (reference: Julia/ipx.jl:187-205 +
+    benchmark/scripts/logparser.jl)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tools"))
+    import logparse
+
+    from ipx_tpu import LpSolver, Parameters
+    from lp_fixtures import afiro
+    log = str(tmp_path / "solve.log")
+    p = Parameters()
+    p.display = 0
+    p.logfile = log
+    p.debug = 2
+    s = LpSolver(p)
+    assert afiro().load_into(s) == 0
+    s.solve()
+    text = open(log).read()
+
+    info = logparse.parse_info(text)
+    real = s.get_info()
+    assert info["status"] == real.status
+    assert info["iter"] == real.iter
+    assert abs(info["objval"] - real.objval) < 1e-9
+    assert info["kktiter1"] == real.kktiter1
+
+    iters = logparse.parse_iterations(text)
+    # one progress line per completed iteration (the last line may or may
+    # not be printed depending on where termination was detected)
+    assert len(iters) in (real.iter, real.iter + 1)
+    assert iters[0]["iter"] == 0
+    assert "kktiter" in iters[0]
+
+    table = logparse.summary_table([info], ["afiro"])
+    assert "afiro" in table and "objval" in table
