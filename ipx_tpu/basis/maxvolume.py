@@ -28,8 +28,11 @@ PIVOT_ZERO_TOL = 1e-7      # reference: src/kkt_solver_basis.h:33
 
 
 class Maxvolume:
-    def __init__(self, control: Control):
+    def __init__(self, control: Control, volume_tol: float = None):
         self.control = control
+        # optional override of parameters.volume_tol (adaptive controller
+        # in KKTSolverBasis)
+        self._volume_tol = volume_tol
         self.updates = 0
         self.skipped = 0
         self.passes = 0
@@ -50,7 +53,8 @@ class Maxvolume:
         errflag = 0
 
         maxpasses = self.control.parameters.maxpasses
-        volumetol = max(self.control.parameters.volume_tol, 1.0)
+        volumetol = max(self._volume_tol if self._volume_tol is not None
+                        else self.control.parameters.volume_tol, 1.0)
 
         invscale_basic = np.zeros(m)
         for p in range(m):
@@ -180,7 +184,8 @@ class Maxvolume:
         import time as _t
         lib, handle = native
         md = basis.model
-        volumetol = max(self.control.parameters.volume_tol, 1.0)
+        volumetol = max(self._volume_tol if self._volume_tol is not None
+                        else self.control.parameters.volume_tol, 1.0)
         maxskip = self.control.parameters.maxskip_updates
 
         work = np.where(tblrow_used, invscale_basic, 0.0)
@@ -263,7 +268,8 @@ class Maxvolume:
         row = IndexedVector(n + m)
         errflag = 0
 
-        volumetol = max(self.control.parameters.volume_tol, 1.0)
+        volumetol = max(self._volume_tol if self._volume_tol is not None
+                        else self.control.parameters.volume_tol, 1.0)
         maxskip = self.control.parameters.maxskip_updates
 
         # column weights: one dense BTRAN per slice

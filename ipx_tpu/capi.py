@@ -33,6 +33,11 @@ def ipx_version_patch() -> int:
     return VERSION_PATCH
 
 
+def ipx_version() -> str:
+    """Semver string (reference: include/ipx_version.h)."""
+    return f"{VERSION_MAJOR}.{VERSION_MINOR}.{VERSION_PATCH}"
+
+
 def ipx_default_parameters() -> Parameters:
     return Parameters()
 

@@ -69,13 +69,28 @@ class KKTSolverBasis(KKTSolver):
         self._iters = 0
         self.changes = 0
         self.factorized = False
+        # Adaptive maxvolume tolerance (no reference counterpart — the
+        # reference uses the fixed parameter, default 2.0): START TIGHT so
+        # the first basis after the phase switch is a good preconditioner
+        # (on staircase/srd-like LPs a loose first basis costs thousands of
+        # CR iterations in the first solve), then relax toward the
+        # parameter while CR stays cheap and tighten again when it is not.
+        self._vt = max(1.05, min(1.1, control.parameters.volume_tol))
 
     # ------------------------------------------------------------------
     def _factorize(self, iterate, info: Info) -> None:
         info.errflag = 0
         self.factorized = False
+        prev_iters = self._iters
         self._iters = 0
         self.changes = 0
+
+        # feedback control of the maxvolume tolerance (see __init__)
+        vt_max = max(self.control.parameters.volume_tol, 1.0)
+        if prev_iters > 60:
+            self._vt = max(1.05, self._vt * 0.75)
+        elif prev_iters and prev_iters < 25:
+            self._vt = min(vt_max, self._vt * 1.3)
 
         self.colscale = iterate.scaling_factors()
 
@@ -89,7 +104,7 @@ class KKTSolverBasis(KKTSolver):
             if info.errflag:
                 return
 
-        maxvol = Maxvolume(self.control)
+        maxvol = Maxvolume(self.control, volume_tol=self._vt)
         if self.control.parameters.update_heuristic == 0:
             info.errflag = maxvol.run_sequential(self.colscale, self.basis)
         else:
