@@ -17,8 +17,8 @@ from scipy.optimize import linprog
 
 from ipx_tpu import LpSolver, Parameters
 from ipx_tpu.status import Status
-from ipx_tpu.testgen import grid_flow, production, transportation, \
-    load_into_solver
+from ipx_tpu.testgen import grid_flow, production, staircase, \
+    transportation, load_into_solver
 
 
 def highs_objective(data):
@@ -49,6 +49,8 @@ GENS = [
     ("grid", lambda s: grid_flow(5 + s % 9, 6 + s % 11, s)),
     ("production", lambda s: production(60 + s % 80, 50 + s % 60,
                                         3 + s % 4, s)),
+    ("staircase", lambda s: staircase(4 + s % 7, 10 + s % 13,
+                                      2 + s % 3, s)),
 ]
 
 VARIANTS = [
