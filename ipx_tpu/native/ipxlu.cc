@@ -45,9 +45,12 @@ typedef int64_t ipxint;
 namespace {
 
 struct SparseCols {
-    // simple CSC container in position space
+    // simple CSC container in position space. Indices are int32 (positions
+    // are < m < 2^31): the triangular solves are memory-latency/bandwidth
+    // bound and halving the index traffic is a measurable win on large
+    // factors.
     std::vector<ipxint> ptr;
-    std::vector<ipxint> idx;
+    std::vector<int32_t> idx;
     std::vector<double> val;
     void clear(ipxint n) { ptr.assign(n + 1, 0); idx.clear(); val.clear(); }
 };
