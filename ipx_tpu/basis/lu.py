@@ -193,6 +193,8 @@ def _load_lib():
                                        ctypes.POINTER(I)]
     lib.ipxlu_get_factors.argtypes = [P, IA, IA, DA, IA, IA, DA]
     lib.ipxlu_solve_dense.argtypes = [P, DA, DA, I]
+    lib.ipxlu_solve_dense_block.argtypes = [P, DA, DA, I, I]
+    lib.ipxlu_solve_dense_block.restype = None
     lib.ipxlu_ftran_for_update.restype = I
     lib.ipxlu_ftran_for_update.argtypes = [P, I, IA, DA, DA, IA]
     lib.ipxlu_btran_for_update.restype = I
@@ -293,6 +295,17 @@ class NativeLu(LuUpdate):
         rhs = np.ascontiguousarray(rhs, dtype=np.float64)
         self.lib.ipxlu_solve_dense(self.handle, rhs, lhs, int(trans))
         return lhs
+
+    def solve_dense_block(self, RHS: np.ndarray, trans: bool) -> np.ndarray:
+        """Blocked multi-RHS solve: B X = RHS (or B' X = RHS), RHS (m, W).
+        The factor traversal is amortized over the W right-hand sides
+        (vectorized inner axpy); eta chain applied."""
+        RHS = np.ascontiguousarray(RHS, dtype=np.float64)
+        m, W = RHS.shape
+        assert m == self.dim
+        X = np.zeros((m, W))
+        self.lib.ipxlu_solve_dense_block(self.handle, RHS, X, W, int(trans))
+        return X
 
     def tri_solve(self, x: np.ndarray, which: int) -> np.ndarray:
         x = np.ascontiguousarray(x, dtype=np.float64)

@@ -2137,6 +2137,122 @@ void ipxlu_tri_solve(void* h, double* x, ipxint which) {
     }
 }
 
+// Blocked dense solves for general multi-RHS: B X = RHS (trans=0) or
+// B' X = RHS (trans=1), X row-major (m, W), eta chain applied. The blocked
+// inner axpy vectorizes over the W right-hand sides, amortizing the factor
+// traversal — the building block for scenario-batched phase-2 KKT solves
+// (shared basis across scenarios; no reference counterpart).
+void ipxlu_solve_dense_block(void* h, const double* RHS, double* X,
+                             ipxint W, ipxint trans) {
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    const ipxint m = lu.m;
+    static thread_local std::vector<double> wbuf;
+    wbuf.assign((size_t)m * W, 0.0);
+    double* Y = wbuf.data();
+    if (!trans) {
+        // FTRAN: rows -> slots. permute rhs into position space
+        for (ipxint k = 0; k < m; k++)
+            std::memcpy(Y + (size_t)k * W,
+                        RHS + (size_t)lu.rowperm[k] * W,
+                        W * sizeof(double));
+        for (ipxint k = 0; k < m; k++) {           // blocked L solve
+            const double* xk = Y + (size_t)k * W;
+            bool any = false;
+            for (ipxint t = 0; t < W; t++) any = any || (xk[t] != 0.0);
+            if (!any) continue;
+            for (ipxint p = lu.L.ptr[k]; p < lu.L.ptr[k + 1]; p++) {
+                double* xi = Y + (size_t)lu.L.idx[p] * W;
+                const double lv = lu.L.val[p];
+                for (ipxint t = 0; t < W; t++) xi[t] -= lv * xk[t];
+            }
+        }
+        for (ipxint k = m - 1; k >= 0; k--) {      // blocked U solve
+            double* xk = Y + (size_t)k * W;
+            const double d = lu.Udiag[k];
+            bool any = false;
+            for (ipxint t = 0; t < W; t++) {
+                xk[t] /= d;
+                any = any || (xk[t] != 0.0);
+            }
+            if (!any) continue;
+            for (ipxint p = lu.U.ptr[k]; p < lu.U.ptr[k + 1]; p++) {
+                double* xi = Y + (size_t)lu.U.idx[p] * W;
+                const double uv = lu.U.val[p];
+                for (ipxint t = 0; t < W; t++) xi[t] -= uv * xk[t];
+            }
+        }
+        // positions -> slots, then etas (slot space), blocked
+        for (ipxint k = 0; k < m; k++)
+            std::memcpy(X + (size_t)lu.colperm[k] * W,
+                        Y + (size_t)k * W, W * sizeof(double));
+        for (const Eta& e : lu.etas) {
+            double* xp = X + (size_t)e.pos * W;
+            bool any = false;
+            for (ipxint t = 0; t < W; t++) {
+                xp[t] /= e.diag;
+                any = any || (xp[t] != 0.0);
+            }
+            if (!any) continue;
+            for (size_t q = 0; q < e.idx.size(); q++) {
+                double* xi = X + (size_t)e.idx[q] * W;
+                const double ev = e.val[q];
+                for (ipxint t = 0; t < W; t++) xi[t] -= ev * xp[t];
+            }
+        }
+    } else {
+        // BTRAN: slots -> rows. eta transposes first (reverse order)
+        std::memcpy(Y, RHS, (size_t)m * W * sizeof(double));
+        for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
+            const Eta& e = *it;
+            double* xp = Y + (size_t)e.pos * W;
+            for (size_t q = 0; q < e.idx.size(); q++) {
+                const double* xi = Y + (size_t)e.idx[q] * W;
+                const double ev = e.val[q];
+                for (ipxint t = 0; t < W; t++) xp[t] -= ev * xi[t];
+            }
+            for (ipxint t = 0; t < W; t++) xp[t] /= e.diag;
+        }
+        // slots -> positions
+        static thread_local std::vector<double> wbuf2;
+        wbuf2.assign((size_t)m * W, 0.0);
+        double* Z = wbuf2.data();
+        for (ipxint k = 0; k < m; k++)
+            std::memcpy(Z + (size_t)k * W,
+                        Y + (size_t)lu.colperm[k] * W,
+                        W * sizeof(double));
+        for (ipxint k = 0; k < m; k++) {           // blocked U' solve
+            double* xk = Z + (size_t)k * W;
+            const double d = lu.Udiag[k];
+            bool any = false;
+            for (ipxint t = 0; t < W; t++) {
+                xk[t] /= d;
+                any = any || (xk[t] != 0.0);
+            }
+            if (!any) continue;
+            for (ipxint p = lu.Ut.ptr[k]; p < lu.Ut.ptr[k + 1]; p++) {
+                double* xi = Z + (size_t)lu.Ut.idx[p] * W;
+                const double uv = lu.Ut.val[p];
+                for (ipxint t = 0; t < W; t++) xi[t] -= uv * xk[t];
+            }
+        }
+        for (ipxint k = m - 1; k >= 0; k--) {      // blocked L' solve
+            const double* xk = Z + (size_t)k * W;
+            bool any = false;
+            for (ipxint t = 0; t < W; t++) any = any || (xk[t] != 0.0);
+            if (!any) continue;
+            for (ipxint p = lu.Lt.ptr[k]; p < lu.Lt.ptr[k + 1]; p++) {
+                double* xi = Z + (size_t)lu.Lt.idx[p] * W;
+                const double lv = lu.Lt.val[p];
+                for (ipxint t = 0; t < W; t++) xi[t] -= lv * xk[t];
+            }
+        }
+        // positions -> rows
+        for (ipxint k = 0; k < m; k++)
+            std::memcpy(X + (size_t)lu.rowperm[k] * W,
+                        Z + (size_t)k * W, W * sizeof(double));
+    }
+}
+
 // Debug/test export: solve a candidate block with ftran_block_build and
 // extract every column through ftran_from_block (out column-major m x W).
 // Returns 0, or -1 when a column could not be served from the block.

@@ -1,0 +1,79 @@
+"""Shared-basis batched KKT CR (ipx_tpu/parallel/batch2.py): scenario
+batches of normal-equation solves preconditioned by ONE basis through
+blocked native solves."""
+import numpy as np
+import pytest
+
+from ipx_tpu import LpSolver, Parameters
+from ipx_tpu.parallel.batch2 import SharedBasisBatchedCR
+from ipx_tpu.testgen import transportation, load_into_solver
+
+
+def _solved_mean_scenario():
+    data = transportation(60, 120, 0.05, seed=9)
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    p.crossover = 0           # keep the IPM basis + iterate
+    s = LpSolver(p)
+    assert load_into_solver(data, s) == 0
+    assert s.solve() == 1000
+    assert s.basis is not None
+    return s
+
+
+def test_shared_basis_batched_cr_converges_fast():
+    s = _solved_mean_scenario()
+    md = s.model
+    m, n = md.num_rows, md.num_cols
+    basis = s.basis
+    if not basis.factorization_is_fresh:
+        assert basis.factorize() == 0
+
+    # per-scenario weights: perturbations of the final iterate's barrier
+    # weights (the phase-2 scaling the basis was refined for)
+    it = s.iterate
+    rng = np.random.default_rng(3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = np.where(it.barrier_lb_mask, it.zl / it.xl, 0.0) \
+            + np.where(it.barrier_ub_mask, it.zu / it.xu, 0.0)
+    W0 = np.where(g > 0, 1.0 / g, 1.0)
+    W0 = np.clip(W0, 1e-8, 1e8)
+    B = 5
+    W = W0[:, None] * rng.uniform(0.8, 1.25, size=(n + m, B))
+    resscale = 1.0 / np.sqrt(W[n:, :])
+    RHS = rng.standard_normal((m, B))
+
+    cr = SharedBasisBatchedCR(basis, W, resscale)
+    Y, ok, iters = cr.solve(RHS, tol=1e-8, maxiter=m)
+    assert ok.all()
+    # residual check per scenario
+    A = md.A
+    for k in range(B):
+        w, y = W[:, k], Y[:, k]
+        res = RHS[:, k] - (A @ (w[:n] * (A.T @ y)) + w[n:] * y)
+        assert np.max(np.abs(resscale[:, k] * res)) <= 1e-8
+
+    # basis preconditioning must beat unpreconditioned behavior decisively:
+    # a handful of iterations, not O(m)
+    assert iters < m // 4, iters
+
+
+def test_shared_basis_batched_cr_partial_convergence_mask():
+    """A scenario with wildly different weights may not converge within a
+    small iteration budget; the mask reports per-scenario status."""
+    s = _solved_mean_scenario()
+    md = s.model
+    m, n = md.num_rows, md.num_cols
+    basis = s.basis
+    if not basis.factorization_is_fresh:
+        assert basis.factorize() == 0
+    rng = np.random.default_rng(4)
+    W = np.ones((n + m, 3))
+    W[:, 2] = 10.0 ** rng.uniform(-6, 6, size=n + m)   # hostile scenario
+    resscale = 1.0 / np.sqrt(W[n:, :])
+    RHS = rng.standard_normal((m, 3))
+    cr = SharedBasisBatchedCR(basis, W, resscale)
+    Y, ok, iters = cr.solve(RHS, tol=1e-10, maxiter=8)
+    assert ok.dtype == bool and ok.shape == (3,)
+    assert np.all(np.isfinite(Y))

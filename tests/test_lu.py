@@ -236,3 +236,55 @@ def test_blocked_ftran_matches_single():
         got = out[t * m:(t + 1) * m]
         scale = max(1.0, np.abs(ref.values).max())
         assert np.abs(got - ref.values).max() / scale < 1e-12
+
+
+def test_solve_dense_block_matches_single():
+    """Blocked multi-RHS B/B' solves match per-column solve_dense, with a
+    PFI eta chain in place."""
+    from ipx_tpu.basis.basis import Basis
+    from ipx_tpu.basis.indexed_vector import IndexedVector
+    from ipx_tpu.control import Control
+    from ipx_tpu.model import Model
+    from ipx_tpu.presolve import Presolver
+    from ipx_tpu.user_model import UserModel
+    from lp_fixtures import random_lp
+
+    a = random_lp(70, 120, density=0.25, seed=4)
+    um = UserModel()
+    assert um.load(a["num_constr"], a["num_var"], a["Ap"], a["Ai"], a["Ax"],
+                   a["rhs"], a["constr_type"], a["obj"], a["lb"],
+                   a["ub"]) == 0
+    md = Model()
+    ctrl = Control()
+    ctrl.parameters.display = 0
+    Presolver(um, md).presolve_model(ctrl)
+    m, n = md.num_rows, md.num_cols
+
+    basis = Basis(ctrl, md)
+    basis.set_to_slack_basis()
+    basis.factorize()
+    lhs = IndexedVector(m)
+    rng = np.random.default_rng(1)
+    for j in rng.permutation(n)[:25]:     # create fill + an eta chain
+        basis.solve_for_update(int(j), lhs)
+        nz = lhs.nonzero_indices()
+        vals = np.abs(lhs.values[nz])
+        k = int(np.argmax(vals))
+        if vals[k] < 1e-3:
+            continue
+        p = int(nz[k])
+        err, _ = basis.exchange_if_stable(int(basis.basis[p]), int(j),
+                                          lhs.values[p], -1)
+        assert err == 0
+    lu = basis.lu
+    if not hasattr(lu, "solve_dense_block"):
+        pytest.skip("native kernel unavailable")
+
+    W = 7
+    RHS = rng.standard_normal((m, W))
+    for trans in (False, True):
+        X = lu.solve_dense_block(RHS, trans)
+        for t in range(W):
+            ref = lu.solve_dense(RHS[:, t], trans)
+            scale = max(1.0, np.abs(ref).max())
+            assert np.abs(X[:, t] - ref).max() / scale < 1e-12, (trans, t)
