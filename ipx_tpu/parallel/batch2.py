@@ -114,3 +114,109 @@ class SharedBasisBatchedCR:
         self.iters = it
         resnorm = np.max(np.abs(self.resscale * R), axis=0)
         return Y, resnorm <= tol, it
+
+
+class SharedBasisBatchedPolish:
+    """Batched phase-2 'polish': continue a batch of scenario IPMs with
+    basis-preconditioned KKT solves sharing ONE basis.
+
+    Reuses the batched predictor-corrector step of BatchedPhase1Solver
+    (state machine, Newton reduction, step sizes are all batched masked
+    operations) but swaps the KKT solve for SharedBasisBatchedCR and the
+    products for host scipy — the step runs eagerly on host, where the
+    blocked native B/B' solves live. Intended use: batched diag phase 1 to
+    a loose tolerance, one mean-scenario basis, then this polish drives all
+    scenarios to tight tolerances at basis-preconditioning iteration counts
+    (the batched analog of the solver's phase switch; no reference
+    counterpart).
+    """
+
+    def __init__(self, blp, basis, feasibility_tol=1e-6,
+                 optimality_tol=1e-8, kkt_tol=0.3, cr_maxiter=500,
+                 maxiter=60):
+        from .batch import BatchedPhase1Solver
+        self._ph1 = BatchedPhase1Solver(
+            blp, feasibility_tol=feasibility_tol,
+            optimality_tol=optimality_tol, kkt_tol=kkt_tol,
+            cr_maxiter=cr_maxiter, maxiter=maxiter)
+        self.basis = basis
+        self.maxiter = maxiter
+        m, n = blp.A.shape
+        self.m, self.n = m, n
+        self.A = blp.A
+        self.cr_maxiter = cr_maxiter
+        self.total_cr_iters = 0
+        # host linear algebra replaces the device SpMV formulation
+        ph = self._ph1
+        ph._AI_mul = self._AI_mul
+        ph._AIt_mul = self._AIt_mul
+        ph._cr_solve = self._cr_solve
+        A2 = blp.A.copy()
+        A2.data = A2.data ** 2
+        self._A2 = A2.tocsr()
+        ph._diag_w = self._diag_w
+
+        class _HostStruct:
+            def __init__(self, A):
+                self.A = A
+
+            def apply_batched_struct(self, X):
+                return self.A @ np.asarray(X)
+
+        ph.nmd = _HostStruct(blp.A)
+
+    # -- host products -----------------------------------------------------
+    def _AI_mul(self, X):
+        X = np.asarray(X)
+        n = self.n
+        return self.A @ X[:n] + X[n:]
+
+    def _AIt_mul(self, Y):
+        Y = np.asarray(Y)
+        return np.concatenate([self.A.T @ Y, Y], axis=0)
+
+    def _diag_w(self, W):
+        W = np.asarray(W)
+        return self._A2 @ W[:self.n] + W[self.n:]
+
+    def _cr_solve(self, W, diag, resscale, RHS, tol):
+        cr = SharedBasisBatchedCR(self.basis, np.asarray(W),
+                                  np.asarray(resscale))
+        tol_arr = np.asarray(tol)
+        Y, ok, iters = cr.solve(np.asarray(RHS), float(np.min(tol_arr)),
+                                self.cr_maxiter)
+        self.total_cr_iters += iters
+        return Y, iters
+
+    # -----------------------------------------------------------------------
+    def run(self, state):
+        """Polishes a batched IPM state dict (X, XL, XU, Y, ZL, ZU, done,
+        iters — numpy or jax arrays) to the tolerances; returns numpy."""
+        S = {k: np.asarray(v) for k, v in state.items()}
+        # the incoming state's done flags reflect the phase-1 tolerances;
+        # re-judge every scenario against THIS polish's tolerances
+        S["done"] = np.zeros_like(np.asarray(S["done"]))
+        ph = self._ph1
+        # masked arithmetic over inf bounds (the batched step was written
+        # for jit where numpy's invalid-op warnings do not exist)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu_prev = np.asarray(ph._mu_of(S))
+            for _ in range(self.maxiter):
+                S = {k: np.asarray(v) for k, v in ph._ipm_step(S).items()}
+                if bool(np.all(S["done"])):
+                    break
+                # Stagnation exit: the shared basis preconditions well only
+                # while the scenario iterates stay near the scaling it was
+                # refined for. Once no unconverged scenario improves its
+                # complementarity meaningfully, stop — the caller hands
+                # those scenarios to per-scenario finishes (the done mask
+                # says which).
+                mu = np.asarray(ph._mu_of(S))
+                active = ~np.asarray(S["done"])
+                if active.any() and np.all(
+                        mu[active] > 0.5 * mu_prev[active]):
+                    break
+                mu_prev = mu
+            S["pobj"] = np.sum(np.asarray(ph.cT) * S["X"], axis=0)
+            S["mu"] = np.asarray(ph._mu_of(S))
+        return S

@@ -77,3 +77,67 @@ def test_shared_basis_batched_cr_partial_convergence_mask():
     Y, ok, iters = cr.solve(RHS, tol=1e-10, maxiter=8)
     assert ok.dtype == bool and ok.shape == (3,)
     assert np.all(np.isfinite(Y))
+
+
+def test_shared_basis_batched_polish_pipeline():
+    """Batched diag phase 1 to a loose tolerance, one mean-scenario basis,
+    then the shared-basis batched polish drives every scenario to tight
+    tolerances; objectives match per-scenario reference solves."""
+    import scipy.sparse as sp
+    from ipx_tpu.parallel.batch import BatchedLp, BatchedPhase1Solver
+    from ipx_tpu.parallel.batch2 import SharedBasisBatchedPolish
+
+    data = transportation(50, 100, 0.06, seed=12)
+    m, n = data["num_constr"], data["num_var"]
+    A = sp.csc_matrix((data["Ax"], data["Ai"], data["Ap"]), shape=(m, n))
+    ct = np.asarray(list(data["constr_type"]))
+    lb = np.concatenate([data["lb"], np.where(ct == ">", -np.inf, 0.0)])
+    ub = np.concatenate([data["ub"], np.where(ct == "<", np.inf, 0.0)])
+    rng = np.random.default_rng(6)
+    B = 4
+    b_batch = data["rhs"][None, :] * rng.uniform(0.98, 1.05, size=(B, m))
+    c = np.zeros((B, n + m))
+    c[:, :n] = data["obj"]
+    blp = BatchedLp(A=A, b=b_batch, c=c, lb=lb, ub=ub)
+
+    # loose batched phase 1
+    ph1 = BatchedPhase1Solver(blp, feasibility_tol=1e-3,
+                              optimality_tol=1e-3, maxiter=60)
+    state = ph1.solve()
+
+    # mean-scenario basis (unscaled model so AI matches blp exactly)
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    p.scale = 0
+    p.dualize = 0
+    p.crossover = 0
+    s = LpSolver(p)
+    d_mean = dict(data)
+    d_mean["rhs"] = b_batch.mean(axis=0)
+    assert load_into_solver(d_mean, s) == 0
+    assert s.solve() == 1000
+    basis = s.basis
+    if not basis.factorization_is_fresh:
+        assert basis.factorize() == 0
+
+    mu_before = None
+    polish = SharedBasisBatchedPolish(blp, basis, feasibility_tol=1e-8,
+                                      optimality_tol=1e-8)
+    out = polish.run(state)
+    # the polish either converges a scenario or reports it for a
+    # per-scenario finish via the mask; either way the iterates must be
+    # near-optimal: objectives match per-scenario reference solves
+    assert out["done"].dtype == bool
+    assert np.all(out["mu"] < 1e-5)     # complementarity driven far down
+    for k in range(B):
+        pk = Parameters()
+        pk.display = 0
+        pk.device = "cpu"
+        sk = LpSolver(pk)
+        dk = dict(data)
+        dk["rhs"] = b_batch[k]
+        assert load_into_solver(dk, sk) == 0
+        assert sk.solve() == 1000
+        ref = sk.get_info().objval
+        assert abs(out["pobj"][k] - ref) <= 1e-5 * max(1.0, abs(ref)), k
