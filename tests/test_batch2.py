@@ -141,3 +141,26 @@ def test_shared_basis_batched_polish_pipeline():
         assert sk.solve() == 1000
         ref = sk.get_info().objval
         assert abs(out["pobj"][k] - ref) <= 1e-5 * max(1.0, abs(ref)), k
+
+
+def test_scenario_solver_with_polish_enabled():
+    """BatchedScenarioSolver(phase2_polish=True) routes through the
+    shared-basis polish and reaches the same per-scenario optima."""
+    from ipx_tpu.parallel.batch import BatchedScenarioSolver
+
+    data = transportation(40, 80, 0.08, seed=2)
+    m = data["num_constr"]
+    rng = np.random.default_rng(7)
+    B = 3
+    b_batch = data["rhs"][None, :] * rng.uniform(0.98, 1.04, size=(B, m))
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    res_ref = BatchedScenarioSolver(data, b_batch, parameters=p).solve()
+    solver = BatchedScenarioSolver(data, b_batch, parameters=p,
+                                   phase2_polish=True)
+    res = solver.solve()
+    for k in range(B):
+        assert res[k][0] == 1000
+        assert abs(res[k][1].objval - res_ref[k][1].objval) \
+            <= 1e-6 * max(1.0, abs(res_ref[k][1].objval)), k
