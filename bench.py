@@ -137,10 +137,12 @@ rng = np.random.default_rng(1)
 W64 = rng.uniform(0.5, 2.0, size=n + m)
 v64 = rng.standard_normal(m)
 out = {}
-# f32 first (compiles in seconds on the tunnel; f64 gather programs take
-# minutes). The solver's mixed-precision device CR runs f32 matvecs with
+# f64 first: its loop program is reliably in the persistent cache
+# (seconds), so a slow f32 remote compile cannot zero out the whole
+# measurement — the parent parses the progressive partial prints even on
+# timeout. The solver's mixed-precision device CR runs f32 matvecs with
 # f64 iterative refinement, so the f32 rate is the operational one.
-for name, dtype in (("f32", jnp.float32), ("f64", jnp.float64)):
+for name, dtype in (("f64", jnp.float64), ("f32", jnp.float32)):
     nmd = NormalMatrixDevice(A, dtype=np.float32 if name == "f32"
                              else np.float64)
     W = jnp.asarray(W64, dtype=dtype)
@@ -165,7 +167,7 @@ print(json.dumps(out))
 """
 
 
-def device_matvec_rate(src, snk, seed, timeout_s=420):
+def device_matvec_rate(src, snk, seed, timeout_s=480):
     """Runs the device matvec benchmark in a subprocess with a hard
     timeout; returns (rate, ok)."""
     code = _DEVICE_CHILD % {"repo": REPO, "src": src, "snk": snk,
