@@ -167,9 +167,28 @@ print(json.dumps(out))
 """
 
 
+def _device_responsive(timeout_s=60) -> bool:
+    """Fast pre-flight: does the accelerator answer a trivial matmul?
+    The tunnel backend can hang outright (even jax.devices() blocks);
+    without this check a dead tunnel would cost the full device-child
+    timeout."""
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "print('OK', float((x @ x).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return "OK" in (out.stdout or "")
+    except Exception:
+        return False
+
+
 def device_matvec_rate(src, snk, seed, timeout_s=480):
     """Runs the device matvec benchmark in a subprocess with a hard
     timeout; returns (rate, ok)."""
+    if not _device_responsive():
+        return {}, False
     code = _DEVICE_CHILD % {"repo": REPO, "src": src, "snk": snk,
                             "seed": seed}
     stdout = ""
