@@ -561,6 +561,14 @@ def make_lu(dim: int, kind: str = "native") -> LuUpdate:
     if kind == "native":
         try:
             return NativeLu(dim)
-        except Exception:
+        except Exception as e:
+            # DenseLu is an O(dim^2)-memory / O(dim^3)-solve oracle; a
+            # silent swap would turn large solves into apparent hangs, so
+            # make the degradation loud (VERDICT r2: weak item 6).
+            import logging
+            logging.getLogger("ipx_tpu").warning(
+                "native LU kernel unavailable (%s); falling back to the "
+                "dense LU oracle — expect severe slowdown beyond a few "
+                "thousand rows", e)
             return DenseLu(dim)
     return DenseLu(dim)

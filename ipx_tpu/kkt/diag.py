@@ -112,10 +112,11 @@ class KKTSolverDiag(KKTSolver):
                                               flags="C_CONTIGUOUS")
                 DA = np.ctypeslib.ndpointer(np.float64,
                                             flags="C_CONTIGUOUS")
+                PD = ct.POINTER(ct.c_double)
                 lib.ipxlu_cr_diag_warm.restype = I
                 lib.ipxlu_cr_diag_warm.argtypes = [I, I, IA, IA32, DA, DA,
                                                    DA, DA, DA, D, I, D, DA,
-                                                   ct.POINTER(I), I]
+                                                   ct.POINTER(I), I, PD]
                 lib.ipxlu_nrm_new.restype = ct.c_void_p
                 lib.ipxlu_nrm_new.argtypes = [I, I, IA, IA32, DA, I]
                 lib.ipxlu_nrm_nnz.restype = I
@@ -126,10 +127,12 @@ class KKTSolverDiag(KKTSolver):
                 lib.ipxlu_nrm_free.argtypes = [ct.c_void_p]
                 lib.ipxlu_cr_diag_explicit_warm.restype = I
                 lib.ipxlu_cr_diag_explicit_warm.argtypes = [
-                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I]
+                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I,
+                    PD]
                 lib.ipxlu_cr_diag_explicit_mixed.restype = I
                 lib.ipxlu_cr_diag_explicit_mixed.argtypes = [
-                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I]
+                    ct.c_void_p, DA, DA, DA, D, I, D, DA, ct.POINTER(I), I,
+                    PD]
                 lib._cr_ready = True
             self._native_cr = (lib, Ap, Ai, Ax, ct)
             self._prepare_explicit_normal(lib, Ap, Ai, Ax, ct)
@@ -232,6 +235,7 @@ class KKTSolverDiag(KKTSolver):
                 remaining = tl - self.control.elapsed()
                 deadline = _monotonic_s() + max(remaining, 0.0)
             iters = ct.c_int64(0)
+            mvtime = ct.c_double(0.0)
             t0 = perf_counter()
             if self._nrm_handle is not None:
                 # mixed precision (f32 inner CR + f64 defect correction,
@@ -242,17 +246,18 @@ class KKTSolverDiag(KKTSolver):
                 err = int(fn(
                     self._nrm_handle, self.precond.diagonal, self.resscale,
                     np.ascontiguousarray(rhs), tol, self.maxiter, deadline,
-                    y, ct.byref(iters), warm))
+                    y, ct.byref(iters), warm, ct.byref(mvtime)))
             else:
                 err = int(lib.ipxlu_cr_diag_warm(
                     m, n, Ap, Ai, Ax, self.W, self.precond.diagonal,
                     self.resscale, np.ascontiguousarray(rhs), tol,
-                    self.maxiter, deadline, y, ct.byref(iters), warm))
+                    self.maxiter, deadline, y, ct.byref(iters), warm,
+                    ct.byref(mvtime)))
             dt = perf_counter() - t0
             info.errflag = 999 if err == 999 else err
             info.kktiter1 += iters.value
             info.time_cr1 += dt
-            info.time_cr1_AAt += 0.8 * dt
+            info.time_cr1_AAt += mvtime.value
             self._iters += iters.value
         else:
             cr = ConjugateResiduals(self.control)

@@ -1662,6 +1662,10 @@ struct NrmExplicit {
     std::vector<ipxint> Sp;
     std::vector<int32_t> Si;
     std::vector<double> Sx;
+    // compressed 16-bit copy of the column indices when m < 65536: the CR
+    // SpMV is memory-bandwidth-bound and the index stream is a third of
+    // the f32 traffic, so halving it is a direct throughput win
+    std::vector<uint16_t> Si16;
     // f32 copy of the values for the mixed-precision CR (refreshed lazily
     // from Sx by nrm_values32)
     std::vector<float> Sx32;
@@ -1716,6 +1720,8 @@ static NrmExplicit* nrm_symbolic(ipxint m, ipxint n, const ipxint* Ap,
         }
     }
     h->Sx.assign(h->Si.size(), 0.0);
+    if (m < 65536)
+        h->Si16.assign(h->Si.begin(), h->Si.end());
     return h;
 }
 
@@ -1773,12 +1779,11 @@ static void nrm_values(NrmExplicit& h, const double* W) {
 }
 
 // lhs = S rhs with the curvature dot product fused; row-parallel.
-static double nrm_spmv_dot(const NrmExplicit& h, const double* rhs,
-                           double* lhs) {
-    const ipxint m = h.m;
-    const ipxint* Sp = h.Sp.data();
-    const int32_t* Si = h.Si.data();
-    const double* Sx = h.Sx.data();
+// Templated over the value type (f64 / mixed-precision f32) and the index
+// type (u16 when m < 65536 to halve the index stream).
+template <class TV, class TI>
+static double nrm_spmv_core(ipxint m, const ipxint* Sp, const TI* Si,
+                            const TV* Sx, const TV* rhs, TV* lhs) {
     double dot = 0.0;
 #ifdef _OPENMP
     if (Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
@@ -1793,24 +1798,33 @@ static double nrm_spmv_dot(const NrmExplicit& h, const double* rhs,
             if (tid == 0) lo = 0;
             if (tid == nt - 1) hi = m;
             for (ipxint i = lo; i < hi; i++) {
-                double v = 0.0;
+                TV v = 0;
                 for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
                     v += Sx[q] * rhs[Si[q]];
                 lhs[i] = v;
-                dot += rhs[i] * v;
+                dot += (double)rhs[i] * v;
             }
         }
         return dot;
     }
 #endif
     for (ipxint i = 0; i < m; i++) {
-        double v = 0.0;
+        TV v = 0;
         for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
             v += Sx[q] * rhs[Si[q]];
         lhs[i] = v;
-        dot += rhs[i] * v;
+        dot += (double)rhs[i] * v;
     }
     return dot;
+}
+
+static double nrm_spmv_dot(const NrmExplicit& h, const double* rhs,
+                           double* lhs) {
+    if (!h.Si16.empty())
+        return nrm_spmv_core(h.m, h.Sp.data(), h.Si16.data(), h.Sx.data(),
+                             rhs, lhs);
+    return nrm_spmv_core(h.m, h.Sp.data(), h.Si.data(), h.Sx.data(),
+                         rhs, lhs);
 }
 
 static void nrm_values32(NrmExplicit& h) {
@@ -1825,42 +1839,11 @@ static void nrm_values32(NrmExplicit& h) {
 // accumulates in double for stability).
 static double nrm_spmv_dot32(const NrmExplicit& h, const float* rhs,
                              float* lhs) {
-    const ipxint m = h.m;
-    const ipxint* Sp = h.Sp.data();
-    const int32_t* Si = h.Si.data();
-    const float* Sx = h.Sx32.data();
-    double dot = 0.0;
-#ifdef _OPENMP
-    if (Sp[m] >= (ipxint)1 << 17 && omp_get_max_threads() > 1) {
-#pragma omp parallel reduction(+ : dot)
-        {
-            int nt = omp_get_num_threads();
-            int tid = omp_get_thread_num();
-            ipxint lo = (ipxint)(std::lower_bound(
-                Sp, Sp + m + 1, Sp[m] * tid / nt) - Sp);
-            ipxint hi = (ipxint)(std::lower_bound(
-                Sp, Sp + m + 1, Sp[m] * (tid + 1) / nt) - Sp);
-            if (tid == 0) lo = 0;
-            if (tid == nt - 1) hi = m;
-            for (ipxint i = lo; i < hi; i++) {
-                float v = 0.0f;
-                for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
-                    v += Sx[q] * rhs[Si[q]];
-                lhs[i] = v;
-                dot += (double)rhs[i] * v;
-            }
-        }
-        return dot;
-    }
-#endif
-    for (ipxint i = 0; i < m; i++) {
-        float v = 0.0f;
-        for (ipxint q = Sp[i]; q < Sp[i + 1]; q++)
-            v += Sx[q] * rhs[Si[q]];
-        lhs[i] = v;
-        dot += (double)rhs[i] * v;
-    }
-    return dot;
+    if (!h.Si16.empty())
+        return nrm_spmv_core(h.m, h.Sp.data(), h.Si16.data(),
+                             h.Sx32.data(), rhs, lhs);
+    return nrm_spmv_core(h.m, h.Sp.data(), h.Si.data(), h.Sx32.data(),
+                         rhs, lhs);
 }
 
 // Preconditioned CR on the normal equations with a diagonal preconditioner;
@@ -1874,117 +1857,143 @@ static ipxint cr_diag_core(ipxint m, Apply&& apply, const T* diag,
                            const T* resscale, const T* rhs,
                            double tol, ipxint maxiter, double deadline_s,
                            T* lhs, ipxint* out_iters,
-                           bool warm = false) {
+                           bool warm = false, double* mvtime = nullptr) {
+    // Fused formulation: the preconditioned residual z = M^{-1} r is
+    // recomputed from its definition every iteration inside the axpy pass
+    // (free: r is in registers there), which removes the reference's
+    // separate precond pass and drift-correction pass entirely, and the
+    // search-direction curvature norm p'C M^{-1} C p is accumulated inside
+    // the direction-update pass. Three memory sweeps per iteration (one is
+    // the SpMV) instead of five; identical recurrences otherwise
+    // (reference: src/conjugate_residuals.cc:90-213).
     if (maxiter < 0) maxiter = m + 100;
     std::vector<T> residual(rhs, rhs + m);
-    std::vector<T> sresidual(m), Csres(m), step(m), Cstep(m), pcd(m);
+    std::vector<T> z(m), Cz(m), step(m), Cstep(m);
     std::vector<T> inv_diag(m);
     for (ipxint i = 0; i < m; i++) inv_diag[i] = T(1.0) / diag[i];
-    if (warm) {
-        // lhs holds an initial guess: residual = rhs - C lhs (costs one
-        // extra matvec; pays off when the guess is close, e.g. the
-        // corrector solve starting from the predictor direction).
-        apply(lhs, Csres.data());
-        for (ipxint i = 0; i < m; i++) residual[i] -= Csres[i];
-    } else {
-        std::fill(lhs, lhs + m, 0.0);
-    }
-#ifdef _OPENMP
-    const bool par = m >= (ipxint)1 << 14 && omp_get_max_threads() > 1;
-#else
-    const bool par = false;
-#endif
-
-    auto precond = [&](const T* in, T* out) {
-        double dot = 0.0;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static) reduction(+ : dot) if (par)
-#endif
-        for (ipxint i = 0; i < m; i++) {
-            out[i] = in[i] * inv_diag[i];
-            dot += (double)out[i] * in[i];
-        }
-        return dot;
-    };
-
-    double rpn = precond(residual.data(), sresidual.data());
-    double cdot = apply(sresidual.data(), Csres.data());
-    step = sresidual;
-    Cstep = Csres;
-    ipxint it = 0;
-    ipxint err = 0;
 
     auto now_s = []() {
         return std::chrono::duration<double>(
             std::chrono::steady_clock::now().time_since_epoch()).count();
     };
+    auto timed_apply = [&](const T* in, T* out) {
+        if (!mvtime) return apply(in, out);
+        const double t0 = now_s();
+        const double d = apply(in, out);
+        *mvtime += now_s() - t0;
+        return d;
+    };
 
-    // scaled inf-norm of the initial residual; thereafter the norm of the
-    // updated residual is fused into the axpy pass below.
-    double resnorm = 0.0;
+    if (warm) {
+        // lhs holds an initial guess: residual = rhs - C lhs (costs one
+        // extra matvec; pays off when the guess is close, e.g. the
+        // corrector solve starting from the predictor direction).
+        timed_apply(lhs, Cz.data());
+        for (ipxint i = 0; i < m; i++) residual[i] -= Cz[i];
+    } else {
+        std::fill(lhs, lhs + m, 0.0);
+    }
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) reduction(max : resnorm) if (par)
+    const bool par = m >= (ipxint)1 << 14 && omp_get_max_threads() > 1;
 #endif
-    for (ipxint i = 0; i < m; i++)
-        resnorm = std::max(resnorm,
-                           (double)std::fabs(resscale[i] * residual[i]));
 
+    const T* id = inv_diag.data();
+    T* re = residual.data();
+
+    // init: z = M^{-1} r fused with r'M^{-1}r (the monotonicity quantity)
+    // and the scaled inf-norm of the residual
+    double rpn = 0.0, resnorm = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    reduction(+ : rpn) reduction(max : resnorm) if (par)
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        T zi = re[i] * id[i];
+        z[i] = zi;
+        rpn += (double)re[i] * zi;
+        resnorm = std::max(resnorm,
+                           (double)std::fabs(resscale[i] * re[i]));
+    }
+    double cdot = timed_apply(z.data(), Cz.data());
+    double pdot = 0.0;
+    {
+        T* st = step.data();
+        T* Cst = Cstep.data();
+        const T* Cs = Cz.data();
+        const T* zz = z.data();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : pdot) if (par)
+#endif
+        for (ipxint i = 0; i < m; i++) {
+            st[i] = zz[i];
+            T c = Cs[i];
+            Cst[i] = c;
+            pdot += (double)c * c * id[i];
+        }
+    }
+
+    ipxint it = 0;
+    ipxint err = 0;
+    double rznew = rpn;
     while (true) {
         if (resnorm <= tol) break;
         if (it >= maxiter) { err = 201; break; }
         if (cdot <= 0.0) { err = 202; break; }
-
-        double pdot = precond(Cstep.data(), pcd.data());
         if (pdot <= 0.0) { err = 203; break; }
         double alpha = cdot / pdot;
         if (!std::isfinite(alpha)) { err = 205; break; }
         {
             T* lh = lhs;
-            T* re = residual.data();
-            T* sre = sresidual.data();
+            T* zz = z.data();
             const T* st = step.data();
             const T* Cst = Cstep.data();
-            const T* pc = pcd.data();
             const T alphaT = (T)alpha;
-            double rn = 0.0;
+            double rn = 0.0, rz = 0.0;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) reduction(max : rn) if (par)
+#pragma omp parallel for schedule(static) \
+    reduction(max : rn) reduction(+ : rz) if (par)
 #endif
             for (ipxint i = 0; i < m; i++) {
                 lh[i] += alphaT * st[i];
                 T r = re[i] - alphaT * Cst[i];
                 re[i] = r;
-                sre[i] -= alphaT * pc[i];
+                T zi = r * id[i];
+                zz[i] = zi;
+                rz += (double)r * zi;
                 rn = std::max(rn, (double)std::fabs(resscale[i] * r));
             }
             resnorm = rn;
+            rznew = rz;
         }
-        double cdot_new = apply(sresidual.data(), Csres.data());
+        double cdot_new = timed_apply(z.data(), Cz.data());
         double beta = cdot_new / cdot;
         {
             T* st = step.data();
             T* Cst = Cstep.data();
-            const T* sre = sresidual.data();
-            const T* Cs = Csres.data();
+            const T* zz = z.data();
+            const T* Cs = Cz.data();
             const T betaT = (T)beta;
+            double pd = 0.0;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (par)
+#pragma omp parallel for schedule(static) reduction(+ : pd) if (par)
 #endif
             for (ipxint i = 0; i < m; i++) {
-                st[i] = sre[i] + betaT * st[i];
-                Cst[i] = Cs[i] + betaT * Cst[i];
+                st[i] = zz[i] + betaT * st[i];
+                T c = Cs[i] + betaT * Cst[i];
+                Cst[i] = c;
+                pd += (double)c * c * id[i];
             }
+            pdot = pd;
         }
         cdot = cdot_new;
         it++;
         if (it % 5 == 0) {
-            // Recompute the preconditioned residual from its definition and
-            // require monotone decrease. Only sresidual is replaced — the
-            // recurrence quantities carry over, exactly as the reference
-            // does (reference: src/conjugate_residuals.cc:183-207).
-            double rsdot = precond(residual.data(), sresidual.data());
-            if (rsdot >= rpn) { err = 204; break; }
-            rpn = rsdot;
+            // z is definitional every iteration here, so the reference's
+            // periodic drift correction reduces to the monotone-decrease
+            // check on r'M^{-1}r (reference:
+            // src/conjugate_residuals.cc:183-207).
+            if (rznew >= rpn) { err = 204; break; }
+            rpn = rznew;
             if (deadline_s > 0.0 && now_s() > deadline_s) {
                 err = 999;
                 break;
@@ -2490,17 +2499,21 @@ ipxint ipxlu_cr_diag(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
 }
 
 // Same, but lhs carries an initial guess on entry (warm != 0).
+// out_mvtime (nullable) accumulates the measured matvec seconds so the
+// Info time_cr1_AAt split is measured, not estimated (reference:
+// src/normal_matrix.cc:37-43).
 ipxint ipxlu_cr_diag_warm(ipxint m, ipxint n, const ipxint* Ap,
                           const int32_t* Ai, const double* Ax,
                           const double* W, const double* diag,
                           const double* resscale, const double* rhs,
                           double tol, ipxint maxiter, double deadline_s,
-                          double* lhs, ipxint* out_iters, ipxint warm) {
+                          double* lhs, ipxint* out_iters, ipxint warm,
+                          double* out_mvtime) {
     auto apply = [&](const double* in, double* out) {
         return ipxlu_normal_apply(m, n, Ap, Ai, Ax, W, in, out);
     };
     return cr_diag_core(m, apply, diag, resscale, rhs, tol, maxiter,
-                        deadline_s, lhs, out_iters, warm != 0);
+                        deadline_s, lhs, out_iters, warm != 0, out_mvtime);
 }
 
 // ---------------------------------------------------------------------
@@ -2546,18 +2559,20 @@ ipxint ipxlu_cr_diag_explicit(void* h, const double* diag,
                         deadline_s, lhs, out_iters);
 }
 
-// Same, but lhs carries an initial guess on entry (warm != 0).
+// Same, but lhs carries an initial guess on entry (warm != 0) and
+// out_mvtime (nullable) accumulates measured matvec seconds.
 ipxint ipxlu_cr_diag_explicit_warm(void* h, const double* diag,
                                    const double* resscale, const double* rhs,
                                    double tol, ipxint maxiter,
                                    double deadline_s, double* lhs,
-                                   ipxint* out_iters, ipxint warm) {
+                                   ipxint* out_iters, ipxint warm,
+                                   double* out_mvtime) {
     NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
     auto apply = [&](const double* in, double* out) {
         return nrm_spmv_dot(nh, in, out);
     };
     return cr_diag_core(nh.m, apply, diag, resscale, rhs, tol, maxiter,
-                        deadline_s, lhs, out_iters, warm != 0);
+                        deadline_s, lhs, out_iters, warm != 0, out_mvtime);
 }
 
 // Mixed-precision explicit-S CR: inner CR passes run entirely in float32
@@ -2573,14 +2588,18 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
                                     const double* rhs, double tol,
                                     ipxint maxiter, double deadline_s,
                                     double* lhs, ipxint* out_iters,
-                                    ipxint warm) {
+                                    ipxint warm, double* out_mvtime) {
     NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
     const ipxint m = nh.m;
     if (maxiter < 0) maxiter = m + 100;
     nrm_values32(nh);
 
     auto apply64 = [&](const double* in, double* out) {
-        return nrm_spmv_dot(nh, in, out);
+        if (!out_mvtime) return nrm_spmv_dot(nh, in, out);
+        const double t0 = now_monotonic_s();
+        const double d = nrm_spmv_dot(nh, in, out);
+        *out_mvtime += now_monotonic_s() - t0;
+        return d;
     };
     auto apply32 = [&](const float* in, float* out) {
         return nrm_spmv_dot32(nh, in, out);
@@ -2623,7 +2642,7 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
         ipxint e32 = cr_diag_core(m, apply32, diag32.data(),
                                   resscale32.data(), r32.data(), inner_tol,
                                   maxiter - iters, deadline_s, dy32.data(),
-                                  &it32, false);
+                                  &it32, false, out_mvtime);
         iters += it32;
         if (e32 == 999) { *out_iters = iters; return 999; }
         for (ipxint i = 0; i < m; i++) lhs[i] += (double)dy32[i];
@@ -3718,32 +3737,42 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
     std::memcpy(residual, rhs, m * sizeof(double));
     std::fill(lhs, lhs + m, 0.0);
     double cdot = splitted_apply(lu, residual, Cres);
-    std::memcpy(step, residual, m * sizeof(double));
-    std::memcpy(Cstep, Cres, m * sizeof(double));
+    // fused init: step/Cstep copies + denom + initial inf-norm in one sweep
+    double denom = 0.0, resnorm = 0.0;
+    for (ipxint i = 0; i < m; i++) {
+        step[i] = residual[i];
+        double c = Cres[i];
+        Cstep[i] = c;
+        denom += c * c;
+        resnorm = std::max(resnorm, std::fabs(residual[i]));
+    }
 
     ipxint it = 0;
     ipxint err = 0;
     while (true) {
-        double resnorm = 0.0;
-        for (ipxint i = 0; i < m; i++)
-            resnorm = std::max(resnorm, std::fabs(residual[i]));
         if (resnorm <= tol) break;
         if (it >= maxiter) { err = 201; break; }
         if (cdot <= 0.0) { err = 202; break; }
-        double denom = 0.0;
-        for (ipxint i = 0; i < m; i++) denom += Cstep[i] * Cstep[i];
         double alpha = cdot / denom;
         if (!std::isfinite(alpha)) { err = 205; break; }
+        double rn = 0.0;
         for (ipxint i = 0; i < m; i++) {
             lhs[i] += alpha * step[i];
-            residual[i] -= alpha * Cstep[i];
+            double r = residual[i] - alpha * Cstep[i];
+            residual[i] = r;
+            rn = std::max(rn, std::fabs(r));
         }
+        resnorm = rn;
         double cdot_new = splitted_apply(lu, residual, Cres);
         double beta = cdot_new / cdot;
+        double dn = 0.0;
         for (ipxint i = 0; i < m; i++) {
             step[i] = residual[i] + beta * step[i];
-            Cstep[i] = Cres[i] + beta * Cstep[i];
+            double c = Cres[i] + beta * Cstep[i];
+            Cstep[i] = c;
+            dn += c * c;
         }
+        denom = dn;
         cdot = cdot_new;
         it++;
         if (it % 5 == 0 && deadline_s > 0.0 &&
