@@ -203,7 +203,7 @@ class Maxvolume:
                 lib.ipxlu_maxvol_weights.argtypes = [I, I, IA, IA32, DA,
                                                      DA, DA, DA]
                 lib._maxvolw_ready = True
-            _, Ap, Ai, Ax = mulh
+            _, Ap, Ai, Ax = mulh[:4]
             colscale = np.ascontiguousarray(colscale)
             colweights = np.empty(md.num_var_all)
             lib.ipxlu_maxvol_weights(md.num_rows, md.num_cols, Ap, Ai, Ax,

@@ -149,7 +149,14 @@ class Model:
                 DA = np.ctypeslib.ndpointer(np.float64,
                                             flags="C_CONTIGUOUS")
                 lib.ipxlu_ai_mul.argtypes = [I, I, IA, IA32, DA, DA, DA]
+                lib.ipxlu_ai_mul_csr.argtypes = [I, I, IA, IA32, DA, DA,
+                                                 DA]
                 lib.ipxlu_ait_mul.argtypes = [I, I, IA, IA32, DA, DA, DA]
+                lib.ipxlu_diag_rhs.argtypes = [I, I, IA, IA32, DA, DA, DA,
+                                               DA, DA]
+                lib.ipxlu_diag_recover.argtypes = [I, I, IA, IA32, DA, IA,
+                                                   IA32, DA, DA, DA, DA,
+                                                   DA, DA]
                 lib._aimul_ready = True
             if not hasattr(self, "_native_csc32"):
                 A = self.A
@@ -157,7 +164,13 @@ class Model:
                     np.ascontiguousarray(A.indptr, dtype=np.int64),
                     np.ascontiguousarray(A.indices, dtype=np.int32),
                     np.ascontiguousarray(A.data, dtype=np.float64))
-            h = (lib,) + self._native_csc32
+            if not hasattr(self, "_native_csr32"):
+                AT = self.A_csr
+                self._native_csr32 = (
+                    np.ascontiguousarray(AT.indptr, dtype=np.int64),
+                    np.ascontiguousarray(AT.indices, dtype=np.int32),
+                    np.ascontiguousarray(AT.data, dtype=np.float64))
+            h = (lib,) + self._native_csc32 + self._native_csr32
         except Exception:
             h = None
         self._native_mul_h = h
@@ -168,10 +181,10 @@ class Model:
         n = self.num_cols
         h = self._native_mul()
         if h is not None and x.dtype == np.float64:
-            lib, Ap, Ai, Ax = h
+            lib, Ap, Ai, Ax, ATp, ATi, ATx = h
             out = np.empty(self.num_rows)
-            lib.ipxlu_ai_mul(self.num_rows, n, Ap, Ai, Ax,
-                             np.ascontiguousarray(x), out)
+            lib.ipxlu_ai_mul_csr(self.num_rows, n, ATp, ATi, ATx,
+                                 np.ascontiguousarray(x), out)
             return out
         return self.A @ x[:n] + x[n:]
 
@@ -179,7 +192,7 @@ class Model:
         """AI' @ y, returns length n+m."""
         h = self._native_mul()
         if h is not None and y.dtype == np.float64:
-            lib, Ap, Ai, Ax = h
+            lib, Ap, Ai, Ax = h[:4]
             out = np.empty(self.num_var_all)
             lib.ipxlu_ait_mul(self.num_rows, self.num_cols, Ap, Ai, Ax,
                               np.ascontiguousarray(y), out)

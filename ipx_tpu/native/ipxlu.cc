@@ -1670,6 +1670,22 @@ struct NrmExplicit {
     // from Sx by nrm_values32)
     std::vector<float> Sx32;
     bool sx32_fresh = false;
+    // IC(0) preconditioner on the pattern of S (strict lower triangle rows
+    // sorted by column + separate diagonal), plus the transpose layout for
+    // the backward solve. Symbolic part built once; numeric refresh per
+    // KKT factorize with a diagonal-shift ladder on breakdown.
+    std::vector<ipxint> Icp;        // strict-lower rows of L (CSR)
+    std::vector<int32_t> Ici;
+    std::vector<double> Icv;
+    std::vector<double> Icd;        // diag(L)
+    std::vector<ipxint> Itp;        // strict-upper rows of L' (CSR)
+    std::vector<int32_t> Iti;
+    std::vector<double> Itv;
+    std::vector<ipxint> Itmap;      // Icv position -> Itv position
+    std::vector<ipxint> Sdiagpos;   // position of S[i,i] in row i
+    std::vector<ipxint> Slowmap;    // Icv position -> Sx position
+    bool ic_symbolic_done = false;
+    bool ic_ok = false;
 };
 
 // Builds the pattern of S; returns nullptr if nnz(S) would exceed the cap.
@@ -1844,6 +1860,214 @@ static double nrm_spmv_dot32(const NrmExplicit& h, const float* rhs,
                              h.Sx32.data(), rhs, lhs);
     return nrm_spmv_core(h.m, h.Sp.data(), h.Si.data(), h.Sx32.data(),
                          rhs, lhs);
+}
+
+// ---------------------------------------------------------------------
+// IC(0) preconditioner on the explicit normal matrix: incomplete Cholesky
+// on the pattern of S, with a diagonal-shift ladder on breakdown
+// (Manteuffel). Far stronger than the diagonal preconditioner on the
+// network/Laplacian-like normal matrices of phase 1, at ~2 gather sweeps
+// per application. This has no counterpart in the reference (which uses
+// diag + dense-column SMW only, reference: src/diagonal_precond.cc); it is
+// a beyond-reference substitution allowed by the KKT-solver contract
+// (inf-norm(D.res) <= tol, reference: src/kkt_solver.h:11-27).
+// ---------------------------------------------------------------------
+
+static void ic_symbolic(NrmExplicit& h) {
+    if (h.ic_symbolic_done) return;
+    h.ic_symbolic_done = true;
+    const ipxint m = h.m;
+    // guard: the up-looking merge cost is bounded by sum of squared row
+    // counts; bail out when the pattern is too dense for IC(0) to be a
+    // cheap preconditioner
+    double work = 0.0;
+    for (ipxint i = 0; i < m; i++) {
+        double c = (double)(h.Sp[i + 1] - h.Sp[i]);
+        work += c * c;
+    }
+    if (work > 256.0 * (double)h.Sp[m]) return;
+    h.Icp.assign(m + 1, 0);
+    h.Sdiagpos.assign(m, -1);
+    h.Ici.clear();
+    h.Slowmap.clear();
+    h.Ici.reserve((h.Sp[m] - m) / 2);
+    h.Slowmap.reserve((h.Sp[m] - m) / 2);
+    std::vector<std::pair<int32_t, ipxint>> row;
+    for (ipxint i = 0; i < m; i++) {
+        row.clear();
+        for (ipxint q = h.Sp[i]; q < h.Sp[i + 1]; q++) {
+            int32_t j = h.Si[q];
+            if (j == (int32_t)i)
+                h.Sdiagpos[i] = q;
+            else if (j < (int32_t)i)
+                row.emplace_back(j, q);
+        }
+        if (h.Sdiagpos[i] < 0) { h.Icp.clear(); return; }
+        std::sort(row.begin(), row.end());
+        for (auto& e : row) {
+            h.Ici.push_back(e.first);
+            h.Slowmap.push_back(e.second);
+        }
+        h.Icp[i + 1] = (ipxint)h.Ici.size();
+    }
+    h.Icv.assign(h.Ici.size(), 0.0);
+    h.Icd.assign(m, 0.0);
+    // transpose layout: for each i, the entries (j > i, L[j,i]) of column i
+    // — the backward-solve sweep
+    h.Itp.assign(m + 1, 0);
+    for (size_t q = 0; q < h.Ici.size(); q++) h.Itp[h.Ici[q] + 1]++;
+    for (ipxint i = 0; i < m; i++) h.Itp[i + 1] += h.Itp[i];
+    h.Iti.assign(h.Ici.size(), 0);
+    h.Itmap.assign(h.Ici.size(), 0);
+    std::vector<ipxint> w(h.Itp.begin(), h.Itp.end() - 1);
+    for (ipxint i = 0; i < m; i++)
+        for (ipxint q = h.Icp[i]; q < h.Icp[i + 1]; q++) {
+            ipxint j = h.Ici[q];
+            ipxint t = w[j]++;
+            h.Iti[t] = (int32_t)i;
+            h.Itmap[q] = t;
+        }
+    h.Itv.assign(h.Ici.size(), 0.0);
+}
+
+// Up-looking IC(0) with diagonal scaled by (1 + shift); false on breakdown.
+static bool ic_numeric(NrmExplicit& h, double shift) {
+    const ipxint m = h.m;
+    const ipxint* Lp = h.Icp.data();
+    const int32_t* Li = h.Ici.data();
+    double* Lv = h.Icv.data();
+    double* D = h.Icd.data();
+    for (ipxint i = 0; i < m; i++) {
+        for (ipxint q = Lp[i]; q < Lp[i + 1]; q++) {
+            ipxint j = Li[q];
+            double s = h.Sx[h.Slowmap[q]];
+            ipxint a = Lp[i], b = Lp[j], bend = Lp[j + 1];
+            while (a < q && b < bend) {
+                int32_t ca = Li[a], cb = Li[b];
+                if (ca == cb) {
+                    s -= Lv[a] * Lv[b];
+                    a++; b++;
+                } else if (ca < cb) {
+                    a++;
+                } else {
+                    b++;
+                }
+            }
+            Lv[q] = s / D[j];
+        }
+        double d = h.Sx[h.Sdiagpos[i]] * (1.0 + shift);
+        for (ipxint q = Lp[i]; q < Lp[i + 1]; q++) d -= Lv[q] * Lv[q];
+        if (!(d > 0.0) || !std::isfinite(d)) return false;
+        D[i] = std::sqrt(d);
+    }
+    for (size_t q = 0; q < h.Icv.size(); q++) h.Itv[h.Itmap[q]] = h.Icv[q];
+    return true;
+}
+
+// x = (L L')^{-1} r; returns r . x fused (the preconditioned dot CR needs).
+static double ic_solve(const NrmExplicit& h, const double* r, double* x) {
+    const ipxint m = h.m;
+    const ipxint* Lp = h.Icp.data();
+    const int32_t* Li = h.Ici.data();
+    const double* Lv = h.Icv.data();
+    const double* D = h.Icd.data();
+    for (ipxint i = 0; i < m; i++) {
+        double v = r[i];
+        for (ipxint q = Lp[i]; q < Lp[i + 1]; q++) v -= Lv[q] * x[Li[q]];
+        x[i] = v / D[i];
+    }
+    const ipxint* Tp = h.Itp.data();
+    const int32_t* Ti = h.Iti.data();
+    const double* Tv = h.Itv.data();
+    double dot = 0.0;
+    for (ipxint i = m - 1; i >= 0; i--) {
+        double v = x[i];
+        for (ipxint q = Tp[i]; q < Tp[i + 1]; q++) v -= Tv[q] * x[Ti[q]];
+        v /= D[i];
+        x[i] = v;
+        dot += r[i] * v;
+    }
+    return dot;
+}
+
+// CR with a general SPD preconditioner supplied as a solve functor
+// (reference structure, src/conjugate_residuals.cc:90-213: recurrence-
+// updated preconditioned residual with 5-iteration drift recheck).
+template <class Apply, class Psolve>
+static ipxint cr_psolve_core(ipxint m, Apply&& apply, Psolve&& psolve,
+                             const double* resscale, const double* rhs,
+                             double tol, ipxint maxiter, double deadline_s,
+                             double* lhs, ipxint* out_iters, bool warm,
+                             double* mvtime) {
+    if (maxiter < 0) maxiter = m + 100;
+    std::vector<double> residual(rhs, rhs + m);
+    std::vector<double> sres(m), Csres(m), step(m), Cstep(m), pcd(m);
+
+    auto now_s = []() {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
+    auto timed_apply = [&](const double* in, double* out) {
+        if (!mvtime) return apply(in, out);
+        const double t0 = now_s();
+        const double d = apply(in, out);
+        *mvtime += now_s() - t0;
+        return d;
+    };
+
+    if (warm) {
+        timed_apply(lhs, Csres.data());
+        for (ipxint i = 0; i < m; i++) residual[i] -= Csres[i];
+    } else {
+        std::fill(lhs, lhs + m, 0.0);
+    }
+
+    double rpn = psolve(residual.data(), sres.data());
+    double cdot = timed_apply(sres.data(), Csres.data());
+    std::copy(sres.begin(), sres.end(), step.begin());
+    std::copy(Csres.begin(), Csres.end(), Cstep.begin());
+    double resnorm = 0.0;
+    for (ipxint i = 0; i < m; i++)
+        resnorm = std::max(resnorm, std::fabs(resscale[i] * residual[i]));
+
+    ipxint it = 0, err = 0;
+    while (true) {
+        if (resnorm <= tol) break;
+        if (it >= maxiter) { err = 201; break; }
+        if (cdot <= 0.0) { err = 202; break; }
+        double pdot = psolve(Cstep.data(), pcd.data());
+        if (pdot <= 0.0) { err = 203; break; }
+        double alpha = cdot / pdot;
+        if (!std::isfinite(alpha)) { err = 205; break; }
+        double rn = 0.0;
+        for (ipxint i = 0; i < m; i++) {
+            lhs[i] += alpha * step[i];
+            double r = residual[i] - alpha * Cstep[i];
+            residual[i] = r;
+            sres[i] -= alpha * pcd[i];
+            rn = std::max(rn, std::fabs(resscale[i] * r));
+        }
+        resnorm = rn;
+        double cdot_new = timed_apply(sres.data(), Csres.data());
+        double beta = cdot_new / cdot;
+        for (ipxint i = 0; i < m; i++) {
+            step[i] = sres[i] + beta * step[i];
+            Cstep[i] = Csres[i] + beta * Cstep[i];
+        }
+        cdot = cdot_new;
+        it++;
+        if (it % 5 == 0) {
+            double rsdot = psolve(residual.data(), sres.data());
+            if (rsdot >= rpn) { err = 204; break; }
+            rpn = rsdot;
+            if (deadline_s > 0.0 && now_s() > deadline_s) {
+                err = 999;
+                break;
+            }
+        }
+    }
+    *out_iters = it;
+    return err;
 }
 
 // Preconditioned CR on the normal equations with a diagonal preconditioner;
@@ -2464,6 +2688,70 @@ void ipxlu_maxvol_weights(ipxint m, ipxint n, const ipxint* Ap,
     }
 }
 
+// out[m] = A x[0:n] + x[n:n+m], row-major (CSR of A): pure gather, no
+// scatter accumulators — the preferred form when AT is available.
+void ipxlu_ai_mul_csr(ipxint m, ipxint n, const ipxint* ATp,
+                      const int32_t* ATi, const double* ATx,
+                      const double* x, double* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (ATp[m] >= (ipxint)1 << 17)
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        double v = x[n + i];
+        for (ipxint p = ATp[i]; p < ATp[i + 1]; p++)
+            v += ATx[p] * x[ATi[p]];
+        out[i] = v;
+    }
+}
+
+// Fused phase-1 KKT rhs: rhs = AI (W . a) - b in one gather pass over the
+// rows of A (counterpart of the rhs assembly in reference:
+// src/kkt_solver_diag.cc:82-99, fused).
+void ipxlu_diag_rhs(ipxint m, ipxint n, const ipxint* ATp,
+                    const int32_t* ATi, const double* ATx, const double* W,
+                    const double* a, const double* b, double* rhs) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (ATp[m] >= (ipxint)1 << 17)
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        double v = W[n + i] * a[n + i] - b[i];
+        for (ipxint p = ATp[i]; p < ATp[i + 1]; p++) {
+            ipxint j = ATi[p];
+            v += ATx[p] * (W[j] * a[j]);
+        }
+        rhs[i] = v;
+    }
+}
+
+// Fused phase-1 KKT solution recovery: x[0:n] = W . (a - A'y) (gather over
+// CSC columns), then x[n:] = b - A x[0:n] (gather over CSR rows), leaving
+// the residual in the slack rows (reference: src/kkt_solver_diag.cc:
+// 100-118, fused).
+void ipxlu_diag_recover(ipxint m, ipxint n, const ipxint* Ap,
+                        const int32_t* Ai, const double* Ax,
+                        const ipxint* ATp, const int32_t* ATi,
+                        const double* ATx, const double* W, const double* a,
+                        const double* y, const double* b, double* x) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (Ap[n] >= (ipxint)1 << 17)
+#endif
+    for (ipxint j = 0; j < n; j++) {
+        double d = 0.0;
+        for (ipxint p = Ap[j]; p < Ap[j + 1]; p++)
+            d += y[Ai[p]] * Ax[p];
+        x[j] = W[j] * (a[j] - d);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (ATp[m] >= (ipxint)1 << 17)
+#endif
+    for (ipxint i = 0; i < m; i++) {
+        double v = b[i];
+        for (ipxint p = ATp[i]; p < ATp[i + 1]; p++)
+            v -= ATx[p] * x[ATi[p]];
+        x[n + i] = v;
+    }
+}
+
 // out[n+m] = [A' y; y]
 void ipxlu_ait_mul(ipxint m, ipxint n, const ipxint* Ap, const int32_t* Ai,
                    const double* Ax, const double* y, double* out) {
@@ -2665,6 +2953,45 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
     *out_iters = iters + it64;
     (void)err;
     return e64;
+}
+
+// ---------------------------------------------------------------------
+// Numeric IC(0) refresh for the current weights (after ipxlu_nrm_values).
+// Returns 0 on success (possibly with a diagonal shift), 1 when IC is
+// unavailable for this pattern or breaks down at every shift.
+ipxint ipxlu_nrm_ic_factorize(void* h) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    nh.ic_ok = false;
+    ic_symbolic(nh);
+    if (nh.Icp.empty()) return 1;
+    for (double shift : {0.0, 1e-3, 1e-2, 1e-1, 1.0}) {
+        if (ic_numeric(nh, shift)) {
+            nh.ic_ok = true;
+            return 0;
+        }
+    }
+    return 1;
+}
+
+// CR with the IC(0) preconditioner; same contract as
+// ipxlu_cr_diag_explicit_warm (requires a successful
+// ipxlu_nrm_ic_factorize for the current weights).
+ipxint ipxlu_cr_diag_explicit_ic(void* h, const double* resscale,
+                                 const double* rhs, double tol,
+                                 ipxint maxiter, double deadline_s,
+                                 double* lhs, ipxint* out_iters,
+                                 ipxint warm, double* out_mvtime) {
+    NrmExplicit& nh = *static_cast<NrmExplicit*>(h);
+    if (!nh.ic_ok) return -2;
+    auto apply = [&](const double* in, double* out) {
+        return nrm_spmv_dot(nh, in, out);
+    };
+    auto psolve = [&](const double* in, double* out) {
+        return ic_solve(nh, in, out);
+    };
+    return cr_psolve_core(nh.m, apply, psolve, resscale, rhs, tol, maxiter,
+                          deadline_s, lhs, out_iters, warm != 0,
+                          out_mvtime);
 }
 
 // ---------------------------------------------------------------------

@@ -65,6 +65,12 @@ class Parameters:
                                     # correction (same termination contract,
                                     # f64 finish when f32 stalls); "f64"
                                     # forces full double precision
+    kkt_precond: str = "auto"       # phase-1 CR preconditioner: "auto"/
+                                    # "diag" = diagonal (+ dense-column
+                                    # SMW, reference behavior); "ic" forces
+                                    # IC(0) on the explicit normal matrix
+                                    # (shift ladder, falls back to diag on
+                                    # breakdown) — rarely faster, opt-in
 
     # --- Checkpoint/resume (no counterpart in the reference) ---
     checkpoint_file: Optional[str] = None  # write .npz checkpoints here
