@@ -52,6 +52,7 @@ class KKTSolverDiag(KKTSolver):
         self._iters = 0
         self.factorized = False
         self._device_cr = None
+        self._sharded = None        # row-sharded mesh CR (shards > 1)
         self._nrm_handle = None     # explicit normal-matrix native handle
         self._nrm_failed = False
 
@@ -86,14 +87,40 @@ class KKTSolverDiag(KKTSolver):
                                info)
         if info.errflag:
             return
+        self._prepare_sharded()
         self._prepare_device()
         self._prepare_native_cr()
         self.factorized = True
 
+    def _prepare_sharded(self) -> None:
+        """Row-sharded CR over a device mesh when Parameters.shards > 1
+        (SURVEY §2.3: the model-parallel axis, reachable from LpSolver)."""
+        self._sharded = None
+        params = self.control.parameters
+        if params.shards is None or params.shards <= 1:
+            return
+        if self.precond.Adense is not None:
+            return      # dense-column SMW runs on host
+        cached = getattr(self.model, "_sharded_cr", None)
+        if cached is not None and cached[0] == params.shards:
+            self._sharded = cached[1]
+            return
+        try:
+            from ..parallel.sharding import ShardedDiagCR
+            cr = ShardedDiagCR(self.model.A, int(params.shards))
+        except Exception as e:
+            self.control.log(
+                f" sharded CR unavailable ({e}); using single-device "
+                f"phase-1 solver\n")
+            self.model._sharded_cr = (params.shards, None)
+            return
+        self.model._sharded_cr = (params.shards, cr)
+        self._sharded = cr
+
     def _prepare_native_cr(self) -> None:
         """Whole-CR-loop native path (diag precond, no dense columns)."""
         self._native_cr = None
-        if self._device_cr is not None:
+        if self._device_cr is not None or self._sharded is not None:
             return
         if self.precond.Adense is not None:
             return      # dense-column SMW runs through the Python CR
@@ -184,6 +211,8 @@ class KKTSolverDiag(KKTSolver):
         """Set up the on-device CR solver when enabled."""
         self._device_cr = None
         params = self.control.parameters
+        if self._sharded is not None:
+            return      # the mesh CR is the device path
         if params.device == "cpu":
             return
         try:
@@ -241,7 +270,19 @@ class KKTSolverDiag(KKTSolver):
         self.normal_matrix.reset_time()
         self.precond.reset_time()
 
-        if self._device_cr is not None:
+        if getattr(self, "_sharded", None) is not None:
+            from time import perf_counter
+            n_cols = self.model.num_cols
+            t0 = perf_counter()
+            y, iters, errflag = self._sharded.solve(
+                self.W[:n_cols], self.W[n_cols:], self.precond.diagonal,
+                self.resscale, rhs, tol, self.maxiter)
+            dt = perf_counter() - t0
+            info.errflag = errflag
+            info.kktiter1 += iters
+            info.time_cr1 += dt
+            self._iters += iters
+        elif self._device_cr is not None:
             y, iters, errflag, cr_time, mv_time = self._device_cr.solve(
                 rhs, tol, self.maxiter)
             info.errflag = errflag

@@ -175,6 +175,123 @@ class ShardedNormalMatrix:
         return out_p + W_slack_p * V_p
 
 
+def make_row_mesh(num_blocks: int):
+    """1D mesh over the first num_blocks devices (axis "rows")."""
+    jax = _jx()
+    devs = jax.devices()
+    if len(devs) < num_blocks:
+        raise RuntimeError(
+            f"shards={num_blocks} but only {len(devs)} devices visible")
+    from jax.sharding import Mesh
+    return Mesh(np.array(devs[:num_blocks]), ("rows",))
+
+
+class ShardedDiagCR:
+    """Phase-1 KKT CR with AI row-sharded over a device mesh, reachable from
+    LpSolver via Parameters.shards (SURVEY §2.3/§5.8: the model-parallel
+    axis). The jitted program is built once per model; weights, diagonal,
+    residual scaling, rhs, tolerance and iteration limit are runtime
+    operands, so per-IPM-iteration factorizes do not recompile.
+
+    Termination matches the KKT-solver contract: scaled inf-norm
+    ||resscale . r||_inf <= tol (reference: src/kkt_solver.h:11-27)."""
+
+    def __init__(self, A: sp.csc_matrix, num_blocks: int, mesh=None):
+        self.snm = ShardedNormalMatrix(A, num_blocks)
+        self.mesh = mesh if mesh is not None else make_row_mesh(num_blocks)
+        self._fn = None
+
+    def _build(self):
+        jax = _jx()
+        jnp = jax.numpy
+        from jax.sharding import PartitionSpec as P
+        shard_map = jax.shard_map
+        snm = self.snm
+        axis_name = "rows"
+
+        def cr_local(blk, W_struct, W_slack_p, diag_p, resscale_p, rhs_p,
+                     tol, maxiter):
+            inv_diag = 1.0 / diag_p
+
+            def C(v):
+                out = snm.block_normal_apply(blk, (W_struct, W_slack_p), v,
+                                             axis_name)
+                return out, jax.lax.psum(jnp.dot(v, out), axis_name)
+
+            def P_(v):
+                out = v * inv_diag
+                return out, jax.lax.psum(jnp.dot(v, out), axis_name)
+
+            def resnorm_of(r):
+                return jax.lax.pmax(jnp.max(jnp.abs(resscale_p * r)),
+                                    axis_name)
+
+            y0 = jnp.zeros_like(rhs_p)
+            r0 = rhs_p
+            s0, _ = P_(r0)
+            cs0, cdot0 = C(s0)
+            state0 = (y0, r0, s0, cs0, s0, cs0, cdot0, jnp.int64(0))
+
+            def cond(state):
+                _, r, *_, it = state
+                return (resnorm_of(r) > tol) & (it < maxiter)
+
+            def body(state):
+                y, r, s, cs, d, cd, cdot, it = state
+                pcd, pdot = P_(cd)
+                alpha = cdot / pdot
+                y = y + alpha * d
+                r = r - alpha * cd
+                s = s - alpha * pcd
+                cs, cdot_new = C(s)
+                beta = cdot_new / cdot
+                d = s + beta * d
+                cd = cs + beta * cd
+                return (y, r, s, cs, d, cd, cdot_new, it + 1)
+
+            state = jax.lax.while_loop(cond, body, state0)
+            return state[0], state[7], resnorm_of(state[1])
+
+        spec_blk = {k: P("rows") for k in snm.arrays}
+        fn = shard_map(
+            cr_local, mesh=self.mesh,
+            in_specs=(spec_blk, P(), P("rows"), P("rows"), P("rows"),
+                      P("rows"), P(), P()),
+            out_specs=(P("rows"), P(), P()),
+            check_vma=False)
+        self._fn = jax.jit(fn)
+
+    def solve(self, W_struct, W_slack, diag, resscale, rhs, tol: float,
+              maxiter: int):
+        """Returns (y (m,), iters, errflag) with errflag 201 on iteration
+        limit, 0 otherwise."""
+        jax = _jx()
+        jnp = jax.numpy
+        snm = self.snm
+        if self._fn is None:
+            self._build()
+        m_pad = snm.num_blocks * snm.m_block
+        if maxiter < 0:
+            maxiter = snm.m + 100
+
+        def pad_m(x, fill=0.0):
+            out = np.full(m_pad, fill)
+            out[:snm.m] = x
+            return jnp.asarray(out)
+
+        rhs_p = pad_m(rhs)
+        W_slack_p = pad_m(W_slack)
+        diag_p = pad_m(diag, fill=1.0)      # padding rows stay SPD
+        resscale_p = pad_m(resscale)        # padded rows never terminate
+        y, iters, resnorm = self._fn(
+            snm.arrays, jnp.asarray(W_struct), W_slack_p, diag_p,
+            resscale_p, rhs_p, jnp.float64(tol), jnp.int64(maxiter))
+        y = np.asarray(y)[:snm.m]
+        iters = int(np.asarray(iters).ravel()[0])
+        errflag = 201 if float(np.asarray(resnorm).ravel()[0]) > tol else 0
+        return y, iters, errflag
+
+
 def sharded_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
                      diag, rhs, tol: float, maxiter: int, mesh,
                      axis_name: str = "rows"):

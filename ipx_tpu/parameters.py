@@ -71,6 +71,11 @@ class Parameters:
                                     # IC(0) on the explicit normal matrix
                                     # (shift ladder, falls back to diag on
                                     # breakdown) — rarely faster, opt-in
+    shards: int = 0                 # >1: partition AI's rows into this many
+                                    # blocks over a jax.sharding mesh and run
+                                    # the phase-1 CR as collective SpMVs so
+                                    # one LP spans multiple chips; needs
+                                    # >= shards visible devices
 
     # --- Checkpoint/resume (no counterpart in the reference) ---
     checkpoint_file: Optional[str] = None  # write .npz checkpoints here

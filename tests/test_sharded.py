@@ -65,3 +65,31 @@ def test_sharded_batched_cr_2d_mesh():
         w, y, rhs = W[:, k], Y[:, k], RHS[:, k]
         res = rhs - (A @ (w[:n] * (A.T @ y)) + w[n:] * y)
         assert np.max(np.abs(res)) <= 1e-9 * max(1.0, np.abs(rhs).max()), k
+
+
+def test_sharded_full_solve_via_lp_solver():
+    """A sharded full solve of one LP through the public API matches the
+    unsharded objective (VERDICT r2 item 3: Parameters.shards wires the
+    mesh CR into LpSolver's phase-1 KKT path)."""
+    from ipx_tpu import LpSolver, Parameters
+    from ipx_tpu.testgen import transportation, load_into_solver
+
+    data = transportation(60, 90, 0.05, seed=3)
+
+    p0 = Parameters()
+    p0.display = 0
+    p0.device = "cpu"
+    s0 = LpSolver(p0)
+    load_into_solver(data, s0)
+    assert s0.solve() == 1000
+    ref_obj = s0.get_info().pobjval
+
+    p = Parameters()
+    p.display = 0
+    p.shards = 4
+    s = LpSolver(p)
+    load_into_solver(data, s)
+    assert s.solve() == 1000
+    info = s.get_info()
+    assert info.pobjval == pytest.approx(ref_obj, rel=1e-7)
+    assert info.kktiter1 > 0
