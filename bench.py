@@ -186,8 +186,17 @@ def _device_responsive(timeout_s=60) -> bool:
 
 def device_matvec_rate(src, snk, seed, timeout_s=480):
     """Runs the device matvec benchmark in a subprocess with a hard
-    timeout; returns (rate, ok)."""
-    if not _device_responsive():
+    timeout; returns (rate, ok). The pre-flight retries with backoff — a
+    transient tunnel stall at bench time zeroed out all of round 2's
+    device evidence, so give the accelerator three chances."""
+    responsive = False
+    for attempt, t in enumerate((60, 120, 240)):
+        if _device_responsive(timeout_s=t):
+            responsive = True
+            break
+        if attempt < 2:
+            time.sleep(20)
+    if not responsive:
         return {}, False
     code = _DEVICE_CHILD % {"repo": REPO, "src": src, "snk": snk,
                             "seed": seed}

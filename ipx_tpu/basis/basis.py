@@ -54,12 +54,14 @@ class Basis:
         # -2 NONBASIC_FIXED, -1 NONBASIC, p in [0,m) BASIC at position p,
         # p in [m,2m) BASIC_FREE at position p-m
         self.map2basis = np.zeros(n + m, dtype=np.int64)
-        # lu_kernel <= 0: native kernel (counterpart of the reference's
-        # BASICLU path); lu_kernel = 1: generic fallback kernel
+        # lu_kernel <= 0: native kernel with PFI updates + hypersparse
+        # solves (counterpart of the reference's BASICLU path);
+        # lu_kernel = 1: Forrest-Tomlin updates without hypersparsity
         # (counterpart of the reference's generic Forrest-Tomlin over any
-        # LuFactorization, reference: src/basis.cc:24-29)
+        # LuFactorization, reference: src/basis.cc:24-29,
+        # src/forrest_tomlin.cc)
         self.lu = make_lu(m, "native" if control.parameters.lu_kernel <= 0
-                          else "dense")
+                          else "ft")
         self.lu.pivottol = control.parameters.lu_pivottol
         self.factorization_is_fresh = False
 

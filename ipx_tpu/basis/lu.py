@@ -179,6 +179,7 @@ def _load_lib():
     lib.ipxlu_new.argtypes = [I]
     lib.ipxlu_free.argtypes = [P]
     lib.ipxlu_set_pivottol.argtypes = [P, D]
+    lib.ipxlu_set_update_mode.argtypes = [P, I]
     lib.ipxlu_get_pivottol.restype = D
     lib.ipxlu_get_pivottol.argtypes = [P]
     lib.ipxlu_factorize.restype = I
@@ -214,12 +215,20 @@ def _load_lib():
 
 
 class NativeLu(LuUpdate):
-    """ctypes wrapper of the native ipxlu kernel."""
+    """ctypes wrapper of the native ipxlu kernel.
 
-    def __init__(self, dim: int):
+    update_mode 0 uses product-form (PFI) updates with hypersparse solves;
+    update_mode 1 uses Forrest-Tomlin updates without hypersparsity (the
+    lu_kernel=1 behavior of the reference, reference:
+    src/forrest_tomlin.cc + doc/reference.tex lu_kernel)."""
+
+    def __init__(self, dim: int, update_mode: int = 0):
         super().__init__(dim)
         self.lib = _load_lib()
         self.handle = self.lib.ipxlu_new(dim)
+        self.update_mode = int(update_mode)
+        if update_mode:
+            self.lib.ipxlu_set_update_mode(self.handle, int(update_mode))
         self._last = None       # cached last factorized arrays
 
     def __del__(self):
@@ -558,9 +567,12 @@ class DenseLu(LuUpdate):
 
 
 def make_lu(dim: int, kind: str = "native") -> LuUpdate:
-    if kind == "native":
+    """kind: "native" = PFI updates + hypersparse solves (lu_kernel<=0);
+    "ft" = Forrest-Tomlin updates, no hypersparsity (lu_kernel=1);
+    "dense" = pure-Python dense oracle (tests only)."""
+    if kind in ("native", "ft"):
         try:
-            return NativeLu(dim)
+            return NativeLu(dim, update_mode=1 if kind == "ft" else 0)
         except Exception as e:
             # DenseLu is an O(dim^2)-memory / O(dim^3)-solve oracle; a
             # silent swap would turn large solves into apparent hangs, so

@@ -62,6 +62,16 @@ struct Eta {
     std::vector<double> val;
 };
 
+// Forrest-Tomlin row eta: the row transformation [I 0; -alpha' 1] recorded
+// when the spiked row is eliminated from U (reference concept:
+// src/forrest_tomlin.cc:304-360; this implementation is written against
+// this kernel's position-space factor layout, not the reference's).
+struct FtEta {
+    ipxint target;               // position of the eliminated row
+    std::vector<int32_t> pos;    // positions k with alpha_k != 0
+    std::vector<double> alpha;
+};
+
 struct IpxLu {
     ipxint m = 0;
     double pivottol = 0.0625;
@@ -77,6 +87,32 @@ struct IpxLu {
     ipxint factor_nnz = 0;
     ipxint bnnz = 0;
     bool have_factors = false;
+
+    // update mode: 0 = product-form (PFI) etas, 1 = Forrest-Tomlin
+    // (lu_kernel=1 in the parameters; reference: src/basis.cc:24-29)
+    int update_mode = 0;
+
+    // --- Forrest-Tomlin state (all in position space of the fresh
+    // factors; logical pivot order tracked separately so no physical
+    // permutation of the factor files is ever needed) ---
+    bool ft_valid = false;
+    std::vector<ipxint> ft_order;    // order[t] = position of t-th pivot
+    std::vector<ipxint> ft_opos;     // position -> order index
+    // dynamic U column file: per position, (row position | -1 tombstone,
+    // value); replaced columns bump their generation so row-file entries
+    // referencing them become stale
+    std::vector<std::vector<int32_t>> ftU_ri;
+    std::vector<std::vector<double>> ftU_rv;
+    std::vector<double> ftU_diag;
+    std::vector<int32_t> ft_colgen;
+    // row file: per row position, (column position, entry slot in that
+    // column's file, column generation at insert)
+    std::vector<std::vector<int32_t>> ftR_ci, ftR_pp, ftR_cg;
+    std::vector<FtEta> ft_etas;
+    std::vector<double> ft_spike;    // FTRAN intermediate before the U
+                                     // solve (= L'^{-1} a), position space
+    std::vector<double> ft_rwork;    // row-elimination accumulator (zeroed)
+    ipxint ftU_nnz0 = 0, ftU_nnz = 0, ftR_nnz = 0;
 
     // PFI update state
     std::vector<Eta> etas;
@@ -216,6 +252,8 @@ struct CountList {
     bool contains(ipxint j) const { return count[j] >= 0; }
 };
 
+static void ft_build(IpxLu& lu);   // defined with the FT machinery below
+
 // Builds factors from the active-matrix elimination. Returns status bits:
 // bit 0 (1): numerically unstable (not detected here; caller tests),
 // bit 1 (2): singular, dependent columns replaced by unit columns.
@@ -225,6 +263,7 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     const double t_fact0 = std::chrono::duration<double>(
         std::chrono::steady_clock::now().time_since_epoch()).count();
     const double abstol = strict_abs ? 1e-3 : 1e-14;  // kLuDependencyTol
+    lu.ft_valid = false;      // rebuilt at the end when update_mode == 1
     lu.etas.clear();
     lu.eta_nnz = 0;
     lu.t_eta = 0.0;
@@ -720,6 +759,10 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.pattern.resize(m);
     lu.flagstamp = 0;
     lu.ftran_sol.assign(m, 0.0);
+    if (lu.update_mode == 1)
+        ft_build(lu);           // fwd-declared; rebuilds the FT structures
+    else
+        lu.ft_valid = false;
     return status;
 }
 
@@ -879,9 +922,260 @@ static void apply_etas_btran(IpxLu& lu, double* x) {
     lu.t_eta += now_monotonic_s() - t0;
 }
 
+// ---------------------------------------------------------------------
+// Forrest-Tomlin update machinery (update_mode == 1). Capability
+// counterpart of reference: src/forrest_tomlin.cc (FT update over a
+// factorization kernel, dense triangular solves, no hypersparsity) —
+// re-architected around this kernel's position-space factors with a
+// logical pivot order instead of the reference's physically permuted
+// compressed files.
+// ---------------------------------------------------------------------
+
+// (Re)initializes the FT structures from the fresh factors.
+static void ft_build(IpxLu& lu) {
+    const ipxint m = lu.m;
+    lu.ft_order.resize(m);
+    lu.ft_opos.resize(m);
+    for (ipxint k = 0; k < m; k++) {
+        lu.ft_order[k] = k;
+        lu.ft_opos[k] = k;
+    }
+    lu.ftU_ri.assign(m, {});
+    lu.ftU_rv.assign(m, {});
+    lu.ftR_ci.assign(m, {});
+    lu.ftR_pp.assign(m, {});
+    lu.ftR_cg.assign(m, {});
+    lu.ft_colgen.assign(m, 0);
+    lu.ftU_diag = lu.Udiag;
+    for (ipxint k = 0; k < m; k++) {
+        for (ipxint p = lu.U.ptr[k]; p < lu.U.ptr[k + 1]; p++) {
+            int32_t r = lu.U.idx[p];
+            int32_t slot = (int32_t)lu.ftU_ri[k].size();
+            lu.ftU_ri[k].push_back(r);
+            lu.ftU_rv[k].push_back(lu.U.val[p]);
+            lu.ftR_ci[r].push_back((int32_t)k);
+            lu.ftR_pp[r].push_back(slot);
+            lu.ftR_cg[r].push_back(0);
+        }
+    }
+    lu.ft_etas.clear();
+    lu.ftU_nnz0 = lu.ftU_nnz = (ipxint)lu.U.idx.size() + m;
+    lu.ftR_nnz = 0;
+    lu.ft_spike.assign(m, 0.0);
+    lu.ft_rwork.assign(m, 0.0);
+    lu.ft_valid = true;
+}
+
+// FTRAN under FT: rowperm gather -> L solve -> row etas -> U solve in the
+// logical pivot order -> colperm scatter. The pre-U-solve intermediate is
+// stashed as the spike for a following update.
+static void ft_ftran_dense(IpxLu& lu, const double* b, double* x) {
+    const ipxint m = lu.m;
+    double* w = lu.workd.data();
+    for (ipxint k = 0; k < m; k++) w[k] = b[lu.rowperm[k]];
+    dense_lsolve(lu.L, w, m);
+    if (!lu.ft_etas.empty()) {
+        const double t0 = now_monotonic_s();
+        for (const FtEta& e : lu.ft_etas) {
+            double acc = 0.0;
+            for (size_t j = 0; j < e.pos.size(); j++)
+                acc += e.alpha[j] * w[e.pos[j]];
+            w[e.target] -= acc;
+        }
+        lu.t_eta += now_monotonic_s() - t0;
+    }
+    std::memcpy(lu.ft_spike.data(), w, m * sizeof(double));
+    for (ipxint t = m - 1; t >= 0; t--) {
+        ipxint k = lu.ft_order[t];
+        double xk = w[k] / lu.ftU_diag[k];
+        w[k] = xk;
+        if (xk != 0.0) {
+            const auto& ri = lu.ftU_ri[k];
+            const auto& rv = lu.ftU_rv[k];
+            for (size_t q = 0; q < ri.size(); q++) {
+                int32_t r = ri[q];
+                if (r >= 0) w[r] -= rv[q] * xk;
+            }
+        }
+    }
+    for (ipxint k = 0; k < m; k++) x[lu.colperm[k]] = w[k];
+}
+
+// BTRAN under FT: colperm gather -> U' solve in the logical order ->
+// transposed row etas (reverse order) -> L' solve -> rowperm scatter.
+static void ft_btran_dense(IpxLu& lu, const double* b, double* x) {
+    const ipxint m = lu.m;
+    double* w = lu.workd.data();
+    for (ipxint k = 0; k < m; k++) w[k] = b[lu.colperm[k]];
+    for (ipxint t = 0; t < m; t++) {
+        ipxint k = lu.ft_order[t];
+        double acc = w[k];
+        const auto& ri = lu.ftU_ri[k];
+        const auto& rv = lu.ftU_rv[k];
+        for (size_t q = 0; q < ri.size(); q++) {
+            int32_t r = ri[q];
+            if (r >= 0) acc -= rv[q] * w[r];
+        }
+        w[k] = acc / lu.ftU_diag[k];
+    }
+    if (!lu.ft_etas.empty()) {
+        const double t0 = now_monotonic_s();
+        for (auto it = lu.ft_etas.rbegin(); it != lu.ft_etas.rend(); ++it) {
+            const FtEta& e = *it;
+            double wt = w[e.target];
+            if (wt != 0.0)
+                for (size_t j = 0; j < e.pos.size(); j++)
+                    w[e.pos[j]] -= e.alpha[j] * wt;
+        }
+        lu.t_eta += now_monotonic_s() - t0;
+    }
+    dense_ltsolve(lu.Lt, w, m);
+    for (ipxint k = 0; k < m; k++) x[lu.rowperm[k]] = w[k];
+}
+
+// Applies the staged exchange as a Forrest-Tomlin update: replace column p
+// by the staged spike, eliminate the spiked row into a row eta, move p to
+// the end of the logical order. Returns -1 singular, 1 unstable
+// (new-diagonal error vs the expected pivot > kFtDiagErrorTol), 0 ok,
+// -2 staging missing.
+static ipxint ft_update(IpxLu& lu, double pivot) {
+    const ipxint m = lu.m;
+    if (!lu.have_ftran || lu.btran_pos < 0)
+        return -2;
+    const ipxint bpos = lu.btran_pos;
+    const ipxint p = lu.colperm_inv[bpos];
+    const double* s = lu.ft_spike.data();
+    const double d_old = lu.ftU_diag[p];
+
+    // invalidate the old column p (its row-file entries go stale)
+    lu.ftU_nnz -= 1;
+    for (int32_t r : lu.ftU_ri[p])
+        if (r >= 0) lu.ftU_nnz--;
+    lu.ft_colgen[p]++;
+    lu.ftU_ri[p].clear();
+    lu.ftU_rv[p].clear();
+
+    // seed the row elimination with the valid entries of row p, removing
+    // them from U (tombstones) as they are consumed
+    double* rw = lu.ft_rwork.data();
+    // (order index, position) min-heap via sorted scan: fills only go
+    // forward in the order, so a lazy binary heap suffices
+    std::vector<std::pair<ipxint, ipxint>> heap;
+    auto heap_push = [&](ipxint k) {
+        heap.emplace_back(lu.ft_opos[k], k);
+        std::push_heap(heap.begin(), heap.end(),
+                       std::greater<std::pair<ipxint, ipxint>>());
+    };
+    {
+        const auto& ci = lu.ftR_ci[p];
+        const auto& pp = lu.ftR_pp[p];
+        const auto& cg = lu.ftR_cg[p];
+        for (size_t t = 0; t < ci.size(); t++) {
+            int32_t k = ci[t];
+            if (lu.ft_colgen[k] != cg[t]) continue;        // stale
+            int32_t slot = pp[t];
+            if (lu.ftU_ri[k][slot] != (int32_t)p) continue;  // tombstoned
+            if (rw[k] == 0.0 && lu.ftU_rv[k][slot] != 0.0) heap_push(k);
+            rw[k] += lu.ftU_rv[k][slot];
+            lu.ftU_ri[k][slot] = -1;                       // remove from U
+            lu.ftU_nnz--;
+        }
+        lu.ftR_ci[p].clear();
+        lu.ftR_pp[p].clear();
+        lu.ftR_cg[p].clear();
+    }
+
+    FtEta eta;
+    eta.target = p;
+    double d = s[p];
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(),
+                      std::greater<std::pair<ipxint, ipxint>>());
+        ipxint k = heap.back().second;
+        heap.pop_back();
+        double v = rw[k];
+        if (v == 0.0) continue;        // duplicate heap entry or cancelled
+        rw[k] = 0.0;
+        double a = v / lu.ftU_diag[k];
+        eta.pos.push_back((int32_t)k);
+        eta.alpha.push_back(a);
+        d -= a * s[k];
+        // rw -= a * (row k of U): valid row-file entries of k (all at
+        // columns later in the order)
+        const auto& ci = lu.ftR_ci[k];
+        const auto& pp = lu.ftR_pp[k];
+        const auto& cg = lu.ftR_cg[k];
+        for (size_t t = 0; t < ci.size(); t++) {
+            int32_t j = ci[t];
+            if (lu.ft_colgen[j] != cg[t]) continue;
+            int32_t slot = pp[t];
+            if (lu.ftU_ri[j][slot] != (int32_t)k) continue;
+            double u = lu.ftU_rv[j][slot];
+            if (u == 0.0) continue;
+            if (rw[j] == 0.0) heap_push(j);
+            rw[j] -= a * u;
+        }
+    }
+    if (d == 0.0 || !std::isfinite(d) || !std::isfinite(1.0 / d)) {
+        // leave U without row/col p content; caller must refactorize
+        lu.have_ftran = false;
+        lu.btran_pos = -1;
+        lu.ft_valid = false;
+        return -1;
+    }
+
+    // insert the spike as the new column p (entries become upper
+    // triangular once p moves to the end of the order)
+    {
+        auto& ri = lu.ftU_ri[p];
+        auto& rv = lu.ftU_rv[p];
+        const int32_t gen = lu.ft_colgen[p];
+        for (ipxint k = 0; k < m; k++) {
+            if (k == p) continue;
+            double v = s[k];
+            if (v == 0.0) continue;
+            int32_t slot = (int32_t)ri.size();
+            ri.push_back((int32_t)k);
+            rv.push_back(v);
+            lu.ftR_ci[k].push_back((int32_t)p);
+            lu.ftR_pp[k].push_back(slot);
+            lu.ftR_cg[k].push_back(gen);
+            lu.ftU_nnz++;
+        }
+        lu.ftU_diag[p] = d;
+        lu.ftU_nnz++;
+    }
+
+    // move p to the end of the logical order
+    {
+        ipxint tp = lu.ft_opos[p];
+        for (ipxint t = tp; t < m - 1; t++) {
+            lu.ft_order[t] = lu.ft_order[t + 1];
+            lu.ft_opos[lu.ft_order[t]] = t;
+        }
+        lu.ft_order[m - 1] = p;
+        lu.ft_opos[p] = m - 1;
+    }
+
+    lu.ftR_nnz += (ipxint)eta.pos.size();
+    lu.ft_etas.push_back(std::move(eta));
+    lu.have_ftran = false;
+    lu.btran_pos = -1;
+
+    // stability: the determinant update gives d_new = pivot * d_old
+    const double d_exp = pivot * d_old;
+    const double err = std::fabs(d - d_exp) /
+        std::max(std::fabs(d), std::fabs(d_exp));
+    return err > 1e-8 ? 1 : 0;         // kFtDiagErrorTol
+}
+
 // Full dense FTRAN: solves B x = b. b and x in user spaces.
 static void ftran_dense(IpxLu& lu, const double* b, double* x) {
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid) {
+        ft_ftran_dense(lu, b, x);
+        return;
+    }
     double* w = lu.workd.data();
     for (ipxint k = 0; k < m; k++) w[k] = b[lu.rowperm[k]];
     dense_lsolve(lu.L, w, m);
@@ -896,6 +1190,10 @@ static void ftran_dense(IpxLu& lu, const double* b, double* x) {
 // Full dense BTRAN: solves B^T x = b.
 static void btran_dense(IpxLu& lu, const double* b, double* x) {
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid) {
+        ft_btran_dense(lu, b, x);
+        return;
+    }
     double* s = lu.work2.data();
     std::memcpy(s, b, m * sizeof(double));
     apply_etas_btran(lu, s);
@@ -940,6 +1238,15 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
 static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
                            const double* bx, double* x, ipxint* out_pat) {
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid) {
+        // Forrest-Tomlin mode has no hypersparse solves (parity with the
+        // reference's generic FT, src/forrest_tomlin.h:14-26)
+        std::fill(x, x + m, 0.0);
+        std::vector<double> bd(m, 0.0);
+        for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
+        ftran_dense(lu, bd.data(), x);
+        return -1;
+    }
     if (nb > m / 8) {
         std::fill(x, x + m, 0.0);
         std::vector<double> bd(m, 0.0);
@@ -989,6 +1296,13 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
 static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
                                 ipxint* out_pat) {
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid) {
+        // no hypersparsity in Forrest-Tomlin mode
+        std::vector<double> bd(m, 0.0);
+        bd[pos] = 1.0;
+        ft_btran_dense(lu, bd.data(), x);
+        return -1;
+    }
     // Apply eta inverse transposes sparsely first (most recent first):
     // u_p = (b_p - w_off . b_off) / w_p touches only position e.pos, so the
     // rhs pattern grows by at most one entry per eta.
@@ -1073,6 +1387,8 @@ static double now_monotonic_s() {
 // -2 staging missing.
 static ipxint update_impl(IpxLu& lu, double pivot) {
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid)
+        return ft_update(lu, pivot);
     if (!lu.have_ftran || lu.btran_pos < 0)
         return -2;
     ipxint p = lu.btran_pos;
@@ -1108,6 +1424,19 @@ static ipxint update_impl(IpxLu& lu, double pivot) {
 }
 
 static ipxint need_fresh_impl(IpxLu& lu) {
+    if (lu.update_mode == 1) {
+        // Forrest-Tomlin refresh rules (reference:
+        // src/forrest_tomlin.cc:214-238): bounded update count, row-eta
+        // file larger than L, U grown past 1.7x its fresh size — plus the
+        // measured eta-time competitiveness rule shared with PFI.
+        if (!lu.ft_valid) return 1;
+        if ((ipxint)lu.ft_etas.size() >= std::min<ipxint>(5000, lu.m))
+            return 1;
+        if (lu.ftR_nnz > (ipxint)lu.L.idx.size()) return 1;
+        if ((double)lu.ftU_nnz > 1.7 * (double)lu.ftU_nnz0) return 1;
+        if (lu.t_eta > std::max(lu.t_last_factorize, 1e-6)) return 1;
+        return 0;
+    }
     if ((ipxint)lu.etas.size() >= lu.m)
         return 1;
     if (lu.eta_nnz > 2 * lu.factor_nnz)     // memory / per-solve bound
@@ -1389,7 +1718,7 @@ static ipxint ftran_col_for_update(IpxLu& lu, ipxint jn, XoverCounts& c,
 // Gate for the blocked candidate FTRAN: pays off when solves run dense
 // (fill makes the factor traversal the dominant, rhs-independent cost).
 static inline bool ftran_block_worthwhile(const IpxLu& lu, int ncand) {
-    return ncand >= 4 && lu.have_factors
+    return ncand >= 4 && lu.have_factors && lu.update_mode != 1
         && lu.factor_nnz >= 3 * lu.bnnz;
 }
 
@@ -2247,6 +2576,12 @@ void ipxlu_set_pivottol(void* h, double tol) {
     static_cast<IpxLu*>(h)->pivottol = tol;
 }
 
+// 0 = product-form (PFI) updates, 1 = Forrest-Tomlin (lu_kernel=1). Takes
+// effect at the next factorization.
+void ipxlu_set_update_mode(void* h, ipxint mode) {
+    static_cast<IpxLu*>(h)->update_mode = (int)mode;
+}
+
 double ipxlu_get_pivottol(void* h) {
     return static_cast<IpxLu*>(h)->pivottol;
 }
@@ -2379,6 +2714,20 @@ void ipxlu_solve_dense_block(void* h, const double* RHS, double* X,
                              ipxint W, ipxint trans) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     const ipxint m = lu.m;
+    if (lu.update_mode == 1 && lu.ft_valid) {
+        // FT mode: per-rhs dense solves (the blocked factor traversal is
+        // a PFI-path optimization; FT's dynamic U file is not blocked)
+        std::vector<double> b(m), x(m);
+        for (ipxint t = 0; t < W; t++) {
+            for (ipxint i = 0; i < m; i++) b[i] = RHS[(size_t)i * W + t];
+            if (trans)
+                btran_dense(lu, b.data(), x.data());
+            else
+                ftran_dense(lu, b.data(), x.data());
+            for (ipxint i = 0; i < m; i++) X[(size_t)i * W + t] = x[i];
+        }
+        return;
+    }
     static thread_local std::vector<double> wbuf;
     wbuf.assign((size_t)m * W, 0.0);
     double* Y = wbuf.data();
@@ -2518,7 +2867,10 @@ ipxint ipxlu_need_fresh(void* h) {
 }
 
 ipxint ipxlu_num_updates(void* h) {
-    return (ipxint)static_cast<IpxLu*>(h)->etas.size();
+    IpxLu& lu = *static_cast<IpxLu*>(h);
+    if (lu.update_mode == 1)
+        return (ipxint)lu.ft_etas.size();
+    return (ipxint)lu.etas.size();
 }
 
 double ipxlu_fill_factor(void* h) {

@@ -1,0 +1,85 @@
+"""PFI vs Forrest-Tomlin update comparison table.
+
+Runs crossover/update-heavy testgen instances under lu_kernel=0 (native
+PFI + hypersparse solves) and lu_kernel=1 (Forrest-Tomlin, no
+hypersparsity) and writes docs/LU_UPDATE.tbl — the committed artifact the
+reference keeps for its update-scheme study (reference:
+benchmark/results/srd_updates.tbl).
+
+Usage: python tools/lu_update_compare.py [--quick]
+"""
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def instances(quick):
+    import ipx_tpu.testgen as tg
+    if quick:
+        yield "transport(300,450)", tg.transportation(300, 450, 0.02, 1)
+        yield "grid(40,40)", tg.grid_flow(40, 40, seed=1)
+    else:
+        yield "transport(2000,3000)", tg.transportation(2000, 3000, 0.004, 1)
+        yield "grid(120,120)", tg.grid_flow(120, 120, seed=1)
+        yield "staircase(40,300)", tg.staircase(40, 300, seed=1)
+        yield "production(2000,200)", tg.production(2000, 200, seed=1)
+
+
+def run(data, lu_kernel):
+    from ipx_tpu import LpSolver, Parameters
+    from ipx_tpu.testgen import load_into_solver
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    p.lu_kernel = lu_kernel
+    s = LpSolver(p)
+    load_into_solver(data, s)
+    t0 = time.perf_counter()
+    status = s.solve()
+    dt = time.perf_counter() - t0
+    i = s.get_info()
+    return dict(status=status, obj=i.pobjval, time=dt, iter=i.iter,
+                kkt2=i.kktiter2, upd_ipm=i.updates_ipm,
+                upd_xover=i.updates_crossover,
+                t_luupd=i.time_lu_update, t_luinv=i.time_lu_invert,
+                t_ftran=i.time_ftran, t_btran=i.time_btran)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    hdr = (f"{'instance':24s} {'kern':4s} {'status':6s} {'time':>8s} "
+           f"{'iter':>5s} {'kkt2':>6s} {'upd_ipm':>8s} {'upd_xo':>7s} "
+           f"{'t_upd':>7s} {'t_inv':>7s} {'t_ftran':>8s} {'t_btran':>8s}")
+    lines = [hdr, "-" * len(hdr)]
+    print(hdr)
+    for name, data in instances(args.quick):
+        objs = {}
+        for lk, kern in ((0, "pfi"), (1, "ft")):
+            r = run(data, lk)
+            objs[lk] = r["obj"]
+            line = (f"{name:24s} {kern:4s} {r['status']:<6d} "
+                    f"{r['time']:8.2f} {r['iter']:5d} {r['kkt2']:6d} "
+                    f"{r['upd_ipm']:8d} {r['upd_xover']:7d} "
+                    f"{r['t_luupd']:7.3f} {r['t_luinv']:7.3f} "
+                    f"{r['t_ftran']:8.3f} {r['t_btran']:8.3f}")
+            lines.append(line)
+            print(line)
+        rel = abs(objs[0] - objs[1]) / max(1.0, abs(objs[0]))
+        assert rel < 1e-6, (name, rel)
+    out = os.path.join(REPO, "docs", "LU_UPDATE.tbl")
+    with open(out, "w") as f:
+        f.write("# PFI (lu_kernel=0) vs Forrest-Tomlin (lu_kernel=1)\n")
+        f.write("# regenerate: python tools/lu_update_compare.py\n")
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
