@@ -1,0 +1,77 @@
+"""BASELINE-scale scenario batch: 1024 perturbed-RHS LPs end to end.
+
+Pipeline (SURVEY §2.3 data-parallel analog; no reference counterpart):
+  1. batched phase-1 IPM over all scenarios at once (one jitted
+     predictor-corrector program, per-scenario convergence masks),
+  2. shared-basis batched phase-2 polish (parallel/batch2.py),
+  3. per-scenario warm-started finishes to vertex (basic) solutions.
+
+Each finished objective is cross-checked against an independent direct
+solve for a sample of scenarios. Run:
+
+    JAX_PLATFORMS=cpu python examples/batch_scenarios_1000.py
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
+    except Exception:
+        pass
+
+    from ipx_tpu import LpSolver, Parameters
+    from ipx_tpu.parallel.batch import BatchedScenarioSolver
+    import ipx_tpu.testgen as tg
+
+    data = tg.transportation(60, 90, 0.05, seed=2)
+    m = data["num_constr"]
+    rng = np.random.default_rng(0)
+    B = 1024
+    b_batch = data["rhs"][None, :] * rng.uniform(0.9, 1.1, size=(B, m))
+
+    t0 = time.perf_counter()
+    solver = BatchedScenarioSolver(data, b_batch, phase2_polish=True)
+    results = solver.solve()
+    dt = time.perf_counter() - t0
+
+    statuses = np.array([r[0] for r in results])
+    iters = np.array([r[1].iter for r in results])
+    objs = np.array([r[1].pobjval for r in results])
+    print(f"\n{B} scenarios in {dt:.1f}s "
+          f"({dt / B * 1000:.0f} ms/scenario incl. batched phases)")
+    print(f"statuses: {int((statuses == 1000).sum())}/{B} solved")
+    print(f"finish IPM iterations: mean {iters.mean():.2f}, "
+          f"p90 {np.percentile(iters, 90):.0f}, max {iters.max()}")
+    print(f"objectives: min {objs.min():.4f} max {objs.max():.4f}")
+
+    # cross-check a sample against independent direct solves
+    sample = rng.choice(B, size=8, replace=False)
+    worst = 0.0
+    for k in sample:
+        p = Parameters()
+        p.display = 0
+        s = LpSolver(p)
+        tg.load_into_solver({**data, "rhs": b_batch[k]}, s)
+        assert s.solve() == 1000
+        ref = s.get_info().pobjval
+        worst = max(worst, abs(objs[k] - ref) / max(1.0, abs(ref)))
+    print(f"sampled objective check vs direct solves: max rel diff "
+          f"{worst:.2e}")
+    assert worst < 1e-6
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,27 @@ class KKTSolverBasis(KKTSolver):
             if info.errflag:
                 return
         self.splitted.prepare(self.basis, self.colscale)
+        self._prepare_device()
         self.factorized = True
+
+    def _prepare_device(self) -> None:
+        """Device phase-2 CR (NN' + recurrence jitted, B/B' solves via host
+        callback — ops/device_cr2.py) when Parameters.device requests the
+        accelerator. One compiled program serves all factorizes (padded
+        operands)."""
+        params = self.control.parameters
+        if params.device != "tpu":
+            self._device_cr = None
+            return
+        try:
+            if getattr(self, "_device_cr", None) is None:
+                from ..ops.device_cr2 import DeviceSplittedCR
+                self._device_cr = DeviceSplittedCR(self.model)
+            self._device_cr.prepare(self.splitted)
+        except Exception as e:
+            self.control.log(
+                f" device phase-2 CR unavailable ({e}); using host path\n")
+            self._device_cr = None
 
     # ------------------------------------------------------------------
     def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info,
@@ -188,7 +208,18 @@ class KKTSolverBasis(KKTSolver):
         # the native kernel when available (triangular solves + NN' product
         # + recurrence without Python crossings per iteration).
         self.splitted.reset_time()
-        if getattr(self.splitted, "_native", None) is not None:
+        if getattr(self, "_device_cr", None) is not None:
+            from time import perf_counter
+            t0 = perf_counter()
+            lhs, iters, errflag = self._device_cr.solve(workp, tol,
+                                                        self.maxiter)
+            info.errflag = errflag
+            info.kktiter2 += iters
+            info.time_cr2 += perf_counter() - t0
+            info.time_cr2_B += self._device_cr.time_B
+            info.time_cr2_Bt += self._device_cr.time_Bt
+            self._iters += iters
+        elif getattr(self.splitted, "_native", None) is not None:
             from time import perf_counter
             deadline = 0.0
             tl = self.control.parameters.time_limit

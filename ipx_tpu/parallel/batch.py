@@ -416,17 +416,20 @@ class BatchedScenarioSolver:
     """
 
     def __init__(self, data, b_batch, obj_batch=None, parameters=None,
-                 phase1_tol=1e-4, phase1_maxiter=100, phase2_polish=False):
+                 phase1_tol=1e-4, phase1_maxiter=100,
+                 phase2_polish="auto"):
         self.data = data
-        # Optional: after batched phase 1, polish all scenarios with
+        # After batched phase 1, optionally polish all scenarios with
         # shared-basis preconditioned KKT solves (parallel/batch2.py)
         # before the per-scenario finishes. Costs one mean-scenario solve
-        # and hands the finishes near-complementary starting points
-        # (measured: total finish IPM iterations cut ~2x). Worth enabling
-        # when the per-scenario finishes dominate (many scenarios, large
-        # instances); off by default since the polish itself runs eagerly
-        # on host.
-        self.phase2_polish = phase2_polish
+        # and hands the finishes near-complementary starting points.
+        # "auto" enables it when the per-scenario finishes are expensive
+        # enough to amortize the polish (measured: at small m the warm
+        # starts already give ~2-iteration finishes and the polish is pure
+        # overhead; at large m the finish basis work dominates).
+        if phase2_polish == "auto":
+            phase2_polish = int(data["num_constr"]) >= 5000
+        self.phase2_polish = bool(phase2_polish)
         m, n = data["num_constr"], data["num_var"]
         self.m, self.n = m, n
         b_batch = np.asarray(b_batch, dtype=float)
@@ -476,6 +479,8 @@ class BatchedScenarioSolver:
             import dataclasses as _dc
             p = (_dc.replace(self.parameters) if self.parameters is not None
                  else Parameters())
+            if self.parameters is None:
+                p.display = 0      # quiet per-scenario finishes by default
             p.dualize = 0          # warm start is refused on dualized models
             s = LpSolver(p)
             rc = s.load_model(n, self.obj_batch[k], d["lb"], d["ub"], m,
@@ -517,6 +522,7 @@ class BatchedScenarioSolver:
             p.dualize = 0
             p.scale = 0           # model must match blp's AI exactly
             p.crossover = 0       # keep the IPM basis
+            p.display = 0         # internal helper solve
             s = LpSolver(p)
             d = self.data
             rc = s.load_model(self.n, np.mean(self.obj_batch, axis=0),
@@ -528,7 +534,9 @@ class BatchedScenarioSolver:
             basis = s.basis
             if not basis.factorization_is_fresh and basis.factorize() != 0:
                 return out
-            polish = SharedBasisBatchedPolish(self.blp, basis)
+            # bounded effort: the stagnation exit usually fires first; the
+            # finishes mop up whatever the shared basis cannot polish
+            polish = SharedBasisBatchedPolish(self.blp, basis, maxiter=12)
             state = {k: out[k] for k in ("X", "XL", "XU", "Y", "ZL", "ZU",
                                          "done", "iters")}
             polished = polish.run(state)

@@ -51,6 +51,10 @@ class SharedBasisBatchedCR:
         D2 = self.W[basis.basis, :].copy()
         bad = ~np.isfinite(D2) | (D2 <= 0.0)
         D2[bad] = 1.0
+        # clamp the dynamic range so the scaled solves cannot overflow
+        # (weights reach ~1e+/-300 late in a polish; the preconditioner only
+        # needs their relative size)
+        np.clip(D2, 1e-150, 1e150, out=D2)
         self._D2 = D2
         self.iters = 0
 

@@ -197,3 +197,26 @@ def load_into_solver(data, solver):
                              data["ub"], data["num_constr"], data["Ap"],
                              data["Ai"], data["Ax"], data["rhs"],
                              data["constr_type"])
+
+
+def assignment(N: int, seed: int = 0):
+    """Assignment-problem LP relaxation: massively degenerate (every basic
+    solution is; the family behind the reference's nug results,
+    reference: benchmark/results/nug.tbl). N^2 variables, 2N equality
+    constraints, integral optimum equal to the matching cost."""
+    rng = np.random.default_rng(seed)
+    n = N * N
+    Ap = [0]
+    Ai: list = []
+    Ax: list = []
+    for i in range(N):
+        for j in range(N):
+            Ai.extend([i, N + j])
+            Ax.extend([1.0, 1.0])
+            Ap.append(len(Ai))
+    return dict(num_var=n, obj=rng.uniform(0, 10, n), lb=np.zeros(n),
+                ub=np.full(n, INF), num_constr=2 * N,
+                Ap=np.array(Ap, dtype=np.int64),
+                Ai=np.array(Ai, dtype=np.int64),
+                Ax=np.array(Ax, dtype=np.float64),
+                rhs=np.ones(2 * N), constr_type="=" * (2 * N))
