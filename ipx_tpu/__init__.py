@@ -11,6 +11,16 @@ followed by crossover to an optimal vertex basis.
 Public API mirrors the reference LpSolver (reference: src/lp_solver.h:19-190)
 plus a flat C-API-style function set in ipx_tpu.capi.
 """
+import os as _os
+
+# On small VMs the Linux scheduler can leave an OpenMP team timesharing ONE
+# cpu (measured: 20x slowdown of every parallel region in the native
+# kernels). Bind threads to distinct places unless the user set a policy.
+# (The native library also sets this in a dlopen constructor; doing it here
+# too covers the case where another extension initialized libgomp first.)
+_os.environ.setdefault("OMP_PROC_BIND", "spread")
+
+
 def _tune_malloc() -> None:
     """Keep large allocations on the heap instead of per-allocation mmaps.
 
