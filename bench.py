@@ -30,10 +30,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def full_solve(m_sources=8000, m_sinks=12000, seed=1):
+def full_solve(m_sources=8000, m_sinks=12000, seed=1, density=0.001):
     from ipx_tpu import LpSolver, Parameters
     from ipx_tpu.testgen import transportation, load_into_solver
-    data = transportation(m_sources, m_sinks, 0.001, seed)
+    data = transportation(m_sources, m_sinks, density, seed)
     p = Parameters()
     p.display = 0
     p.device = "cpu"
@@ -190,12 +190,12 @@ def device_matvec_rate(src, snk, seed, timeout_s=480):
     transient tunnel stall at bench time zeroed out all of round 2's
     device evidence, so give the accelerator three chances."""
     responsive = False
-    for attempt, t in enumerate((60, 120, 240)):
+    for attempt, t in enumerate((60, 180)):
         if _device_responsive(timeout_s=t):
             responsive = True
             break
-        if attempt < 2:
-            time.sleep(20)
+        if attempt == 0:
+            time.sleep(15)
     if not responsive:
         return {}, False
     code = _DEVICE_CHILD % {"repo": REPO, "src": src, "snk": snk,
@@ -251,6 +251,15 @@ def main():
     t_solve, data, stats = full_solve()
     highs_ipm_s, highs_status = highs_solve_time(data, "highs-ipm")
     highs_ds_s, _ = highs_solve_time(data, "highs-ds")
+    # large-instance ratio (BASELINE.md's stated target regime): m=100k
+    # transportation, same comparator
+    try:
+        t_large, data_large, _ = full_solve(40000, 60000, 1, density=2e-4)
+        highs_large_s, _ = highs_solve_time(data_large, "highs-ipm")
+        large_ratio = round(highs_large_s / t_large, 3)
+        data_large = None
+    except Exception:
+        t_large, highs_large_s, large_ratio = None, None, None
     host_rate = host_matvec_rate(data)
     native_rate = native_matvec_rate(data)
     dev, dev_ok = device_matvec_rate(8000, 12000, 1)
@@ -300,6 +309,11 @@ def main():
             "highs_ipm_s": round(highs_ipm_s, 3),
             "highs_ipm_status": highs_status,
             "highs_dual_simplex_s": round(highs_ds_s, 3),
+            "full_solve_100k_rows_s": (round(t_large, 3)
+                                       if t_large else None),
+            "highs_ipm_100k_s": (round(highs_large_s, 3)
+                                 if highs_large_s else None),
+            "vs_baseline_100k_rows": large_ratio,
             "host_matvec_per_s": round(host_rate, 1),
             "native_matvec_per_s": round(native_rate, 1),
             "device_f32_matvec_per_s": round(dev.get("f32_looped_rate",

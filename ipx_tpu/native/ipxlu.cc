@@ -1560,6 +1560,10 @@ static double splitted_apply(IpxLu& lu, const double* rhs, double* lhs) {
     for (ipxint i = 0; i < m; i++) lhs[i] = lhs[i] / s[i] + rhs[i];
     for (ipxint k : lu.freepos) lhs[k] = 0.0;
     double dot = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : dot) \
+    if (m >= (ipxint)1 << 15)
+#endif
     for (ipxint i = 0; i < m; i++) dot += rhs[i] * lhs[i];
     lu.t_B += now_monotonic_s() - t0;
     return dot;
@@ -3255,6 +3259,9 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
     };
 
     std::vector<double> r(m), Cy(m);
+#ifdef _OPENMP
+    const bool par = m >= (ipxint)1 << 15 && omp_get_max_threads() > 1;
+#endif
     if (warm) {
         apply64(lhs, Cy.data());
         for (ipxint i = 0; i < m; i++) r[i] = rhs[i] - Cy[i];
@@ -3264,6 +3271,9 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
     }
     auto snorm_of = [&]() {
         double sn = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : sn) if (par)
+#endif
         for (ipxint i = 0; i < m; i++)
             sn = std::max(sn, std::fabs(resscale[i] * r[i]));
         return sn;
@@ -3286,6 +3296,9 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
         if (snorm <= tol) { *out_iters = iters; return 0; }
         if (iters >= maxiter) { *out_iters = iters; return 201; }
         double inner_tol = std::max(tol, kF32Floor * snorm);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (par)
+#endif
         for (ipxint i = 0; i < m; i++) r32[i] = (float)r[i];
         ipxint it32 = 0;
         ipxint e32 = cr_diag_core(m, apply32, diag32.data(),
@@ -3294,8 +3307,14 @@ ipxint ipxlu_cr_diag_explicit_mixed(void* h, const double* diag,
                                   &it32, false, out_mvtime);
         iters += it32;
         if (e32 == 999) { *out_iters = iters; return 999; }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (par)
+#endif
         for (ipxint i = 0; i < m; i++) lhs[i] += (double)dy32[i];
         apply64(lhs, Cy.data());
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (par)
+#endif
         for (ipxint i = 0; i < m; i++) r[i] = rhs[i] - Cy[i];
         double new_snorm = snorm_of();
         if (!std::isfinite(new_snorm)) { err = 205; break; }
@@ -4427,6 +4446,11 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
     double cdot = splitted_apply(lu, residual, Cres);
     // fused init: step/Cstep copies + denom + initial inf-norm in one sweep
     double denom = 0.0, resnorm = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    reduction(+ : denom) reduction(max : resnorm) \
+    if (m >= (ipxint)1 << 15)
+#endif
     for (ipxint i = 0; i < m; i++) {
         step[i] = residual[i];
         double c = Cres[i];
@@ -4444,6 +4468,10 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
         double alpha = cdot / denom;
         if (!std::isfinite(alpha)) { err = 205; break; }
         double rn = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : rn) \
+    if (m >= (ipxint)1 << 15)
+#endif
         for (ipxint i = 0; i < m; i++) {
             lhs[i] += alpha * step[i];
             double r = residual[i] - alpha * Cstep[i];
@@ -4454,6 +4482,10 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
         double cdot_new = splitted_apply(lu, residual, Cres);
         double beta = cdot_new / cdot;
         double dn = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : dn) \
+    if (m >= (ipxint)1 << 15)
+#endif
         for (ipxint i = 0; i < m; i++) {
             step[i] = residual[i] + beta * step[i];
             double c = Cres[i] + beta * Cstep[i];
@@ -4493,6 +4525,9 @@ void ipxlu_newton_rhs1(ipxint nm, const int8_t* state, const double* rc,
                        const double* rl, const double* ru, const double* sl,
                        const double* su, const double* xl, const double* xu,
                        const double* zl, const double* zu, double* rhs1) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (nm >= (ipxint)1 << 15)
+#endif
     for (ipxint j = 0; j < nm; j++) {
         int8_t s = state[j];
         double v = -rc[j];
@@ -4511,6 +4546,9 @@ void ipxlu_newton_recover(ipxint nm, const int8_t* state, const double* dx,
                           const double* xl, const double* xu,
                           const double* zl, const double* zu, double* dxl,
                           double* dxu, double* dzl, double* dzu) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (nm >= (ipxint)1 << 15)
+#endif
     for (ipxint j = 0; j < nm; j++) {
         int8_t s = state[j];
         if (s > 2) {            // not a barrier variable
@@ -4543,6 +4581,31 @@ ipxint ipxlu_step_boundary(ipxint nm, const double* x, const double* dx,
     const double damp = 1.0 - 2.220446049250313e-16;
     double best = std::numeric_limits<double>::infinity();
     ipxint bestj = -1;
+#ifdef _OPENMP
+    if (nm >= (ipxint)1 << 15 && omp_get_max_threads() > 1) {
+#pragma omp parallel
+        {
+            double tb = std::numeric_limits<double>::infinity();
+            ipxint tj = -1;
+#pragma omp for schedule(static) nowait
+            for (ipxint j = 0; j < nm; j++) {
+                if (dx[j] < 0.0 && std::isfinite(x[j])) {
+                    double cand = -(x[j] * damp) / dx[j];
+                    if (cand < tb) { tb = cand; tj = j; }
+                }
+            }
+#pragma omp critical
+            {
+                // deterministic merge: smallest index among equal minima
+                if (tb < best || (tb == best && tj >= 0
+                                  && (bestj < 0 || tj < bestj))) {
+                    best = tb;
+                    bestj = tj;
+                }
+            }
+        }
+    } else
+#endif
     for (ipxint j = 0; j < nm; j++) {
         if (dx[j] < 0.0 && std::isfinite(x[j])) {
             double cand = -(x[j] * damp) / dx[j];
@@ -4567,6 +4630,10 @@ void ipxlu_compl_products(ipxint nm, const int8_t* state, const double* xl,
                           double* sum_out, ipxint* count_out) {
     double sum = 0.0;
     ipxint count = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    reduction(+ : sum) reduction(+ : count) if (nm >= (ipxint)1 << 15)
+#endif
     for (ipxint j = 0; j < nm; j++) {
         int8_t s = state[j];
         if (st_blb(s)) {
@@ -4600,6 +4667,12 @@ void ipxlu_iterate_eval(ipxint nm, const int8_t* state, ipxint postproc,
     double csum = 0.0, cmin = std::numeric_limits<double>::infinity();
     double cmax = 0.0;
     ipxint ccount = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    reduction(max : pres, dres, cmax) reduction(min : cmin) \
+    reduction(+ : pobj, offset, zximp, dlb, dub, dfix, csum, ccount) \
+    if (nm >= (ipxint)1 << 15)
+#endif
     for (ipxint j = 0; j < nm; j++) {
         int8_t s = state[j];
         bool blb = st_blb(s), bub = st_bub(s);
@@ -4666,6 +4739,9 @@ void ipxlu_iterate_update(ipxint nm, const int8_t* state, double sp,
                           const double* dxl, const double* dxu,
                           const double* dzl, const double* dzu) {
     const double bmin = 1e-30;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (nm >= (ipxint)1 << 15)
+#endif
     for (ipxint j = 0; j < nm; j++) {
         int8_t s = state[j];
         if (s != 4) x[j] += sp * dx[j];
