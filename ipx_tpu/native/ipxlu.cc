@@ -4314,6 +4314,16 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
             if (fnz == -2)
                 fnz = ftran_col_for_update(lu, jn, c, true);
         }
+        // On dense-fill bases every tableau row costs a full factor
+        // traversal; there the row is skipped: the pivot value comes from
+        // the FTRAN (identical entry of the tableau), the update stages
+        // the leaving position directly, and the rank-1 weight refresh is
+        // dropped (weights are only the candidate ordering; the next
+        // slice's fresh BTRAN rebuilds them exactly). Hypersparse bases
+        // (network: fill ~1.0) keep the reference-exact path (reference:
+        // src/maxvolume.cc:202-320).
+        const bool cheap_rows = 2 * lu.factor_nnz >= 3 * lu.bnnz;
+
         double dn = cs[jn];
         ipxint pmax = -1;
         double vmax = 0.0;
@@ -4353,6 +4363,22 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
         }
 
         ipxint jb = basis[pmax];
+        if (cheap_rows) {
+            ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
+                                         ft[pmax], -1, fresh, c);
+            if (xret == 1) continue;
+            if (xret > 1) { ret = xret; break; }
+            c.pivots++;
+            *volinc += std::log2(vmax);
+            cs[jb] = 1.0 / invscale[pmax];
+            invscale[pmax] = 1.0 / dn;
+            cs[jn] = 0.0;
+            colweights[jb] = 0.0;
+            colweights[jn] = 0.0;
+            ncand--;
+            fresh_scan = false;
+            continue;
+        }
         ipxint bnz;
         ipxint rnz = tableau_row_native(lu, map2basis, pmax, 1, bt, btpat,
                                         &bnz, row, rowpat, c);
