@@ -43,8 +43,31 @@ def main():
     b_batch = data["rhs"][None, :] * rng.uniform(0.9, 1.1, size=(B, m))
 
     t0 = time.perf_counter()
-    solver = BatchedScenarioSolver(data, b_batch, phase2_polish=True)
-    results = solver.solve()
+    # A shallow batched sweep: on this 2-core host the batched phase 1 is
+    # compile/width-bound (it is the TPU-resident part of the design), so
+    # the demo runs it to a loose tolerance and lets the warm-started
+    # finishes close the gap. On real accelerators deepen it
+    # (phase1_tol=1e-4 default) and the finishes become trivial.
+    solver = BatchedScenarioSolver(data, b_batch, phase1_tol=3e-3,
+                                   phase1_maxiter=12,
+                                   phase2_polish=True)
+    from ipx_tpu.parallel.batch import BatchedPhase1Solver
+    ph1 = BatchedPhase1Solver(solver.blp, feasibility_tol=solver.phase1_tol,
+                              optimality_tol=solver.phase1_tol,
+                              maxiter=solver.phase1_maxiter)
+    out = ph1.solve()
+    t1 = time.perf_counter()
+    print(f"batched phase 1: {t1 - t0:.1f}s "
+          f"(converged {int(np.asarray(out['done']).sum())}/{B} at tol "
+          f"{solver.phase1_tol:g})", flush=True)
+    if solver.phase2_polish:
+        out = solver._polish(out)
+        print(f"shared-basis polish: {time.perf_counter() - t1:.1f}s",
+              flush=True)
+    t2 = time.perf_counter()
+    results = solver._finish(out)
+    print(f"per-scenario finishes: {time.perf_counter() - t2:.1f}s",
+          flush=True)
     dt = time.perf_counter() - t0
 
     statuses = np.array([r[0] for r in results])

@@ -208,17 +208,29 @@ class KKTSolverBasis(KKTSolver):
         # the native kernel when available (triangular solves + NN' product
         # + recurrence without Python crossings per iteration).
         self.splitted.reset_time()
+        device_done = False
         if getattr(self, "_device_cr", None) is not None:
             from time import perf_counter
             t0 = perf_counter()
-            lhs, iters, errflag = self._device_cr.solve(workp, tol,
-                                                        self.maxiter)
-            info.errflag = errflag
-            info.kktiter2 += iters
-            info.time_cr2 += perf_counter() - t0
-            info.time_cr2_B += self._device_cr.time_B
-            info.time_cr2_Bt += self._device_cr.time_Bt
-            self._iters += iters
+            try:
+                lhs, iters, errflag = self._device_cr.solve(workp, tol,
+                                                            self.maxiter)
+                device_done = True
+            except Exception as e:
+                # e.g. backends without host-callback support
+                # (axon_pjrt); fall through to the host engine
+                self.control.log(
+                    f" device phase-2 CR failed ({e}); using host path\n")
+                self._device_cr = None
+            if device_done:
+                info.errflag = errflag
+                info.kktiter2 += iters
+                info.time_cr2 += perf_counter() - t0
+                info.time_cr2_B += self._device_cr.time_B
+                info.time_cr2_Bt += self._device_cr.time_Bt
+                self._iters += iters
+        if device_done:
+            pass
         elif getattr(self.splitted, "_native", None) is not None:
             from time import perf_counter
             deadline = 0.0

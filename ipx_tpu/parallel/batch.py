@@ -461,19 +461,24 @@ class BatchedScenarioSolver:
 
     def solve(self):
         """Returns a list of per-scenario (status, info, solver)."""
-        from ..lp_solver import LpSolver
-        from ..parameters import Parameters
-
         ph1 = BatchedPhase1Solver(self.blp,
                                   feasibility_tol=self.phase1_tol,
                                   optimality_tol=self.phase1_tol,
                                   maxiter=self.phase1_maxiter)
         out = ph1.solve()
+        if self.phase2_polish:
+            out = self._polish(out)
+        return self._finish(out)
+
+    def _finish(self, out):
+        """Per-scenario warm-started finishes (phase 2 + crossover) from a
+        batched state dict."""
+        from ..lp_solver import LpSolver
+        from ..parameters import Parameters
+
         m, n = self.m, self.n
         d = self.data
         ct = self._ct
-        if self.phase2_polish:
-            out = self._polish(out)
         results = []
         for k in range(self.blp.batch):
             import dataclasses as _dc
