@@ -38,9 +38,15 @@ def main():
 
     data = tg.transportation(60, 90, 0.05, seed=2)
     m = data["num_constr"]
+    ns = 60                      # rows [0, ns) are '<' supplies, rest '>='
     rng = np.random.default_rng(0)
     B = 1024
-    b_batch = data["rhs"][None, :] * rng.uniform(0.9, 1.1, size=(B, m))
+    # feasibility-preserving perturbations: supplies scale up, demands
+    # scale down (a random +/-10% of every row can exceed total supply)
+    fac = np.empty((B, m))
+    fac[:, :ns] = rng.uniform(1.0, 1.1, size=(B, ns))
+    fac[:, ns:] = rng.uniform(0.9, 1.0, size=(B, m - ns))
+    b_batch = data["rhs"][None, :] * fac
 
     t0 = time.perf_counter()
     # A shallow batched sweep: on this 2-core host the batched phase 1 is
@@ -71,11 +77,13 @@ def main():
     dt = time.perf_counter() - t0
 
     statuses = np.array([r[0] for r in results])
+    ipm_status = np.array([r[1].status_ipm for r in results])
     iters = np.array([r[1].iter for r in results])
     objs = np.array([r[1].pobjval for r in results])
     print(f"\n{B} scenarios in {dt:.1f}s "
           f"({dt / B * 1000:.0f} ms/scenario incl. batched phases)")
-    print(f"statuses: {int((statuses == 1000).sum())}/{B} solved")
+    print(f"statuses: {int((statuses == 1000).sum())}/{B} solved, "
+          f"{int((ipm_status == 1).sum())}/{B} optimal verdicts")
     print(f"finish IPM iterations: mean {iters.mean():.2f}, "
           f"p90 {np.percentile(iters, 90):.0f}, max {iters.max()}")
     print(f"objectives: min {objs.min():.4f} max {objs.max():.4f}")
@@ -89,6 +97,8 @@ def main():
         s = LpSolver(p)
         tg.load_into_solver({**data, "rhs": b_batch[k]}, s)
         assert s.solve() == 1000
+        assert s.get_info().status_ipm == 1, int(k)
+        assert ipm_status[k] == 1, int(k)
         ref = s.get_info().pobjval
         worst = max(worst, abs(objs[k] - ref) / max(1.0, abs(ref)))
     print(f"sampled objective check vs direct solves: max rel diff "

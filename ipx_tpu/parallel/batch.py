@@ -475,6 +475,7 @@ class BatchedScenarioSolver:
         batched state dict."""
         from ..lp_solver import LpSolver
         from ..parameters import Parameters
+        from ..status import SolveStatus
 
         m, n = self.m, self.n
         d = self.data
@@ -509,6 +510,23 @@ class BatchedScenarioSolver:
                 # fall back to a cold solve if the point is rejected
                 s.clear_solution()
             status = s.solve()
+            # Safety net: a rough batched state (loose phase-1 tolerance)
+            # can steer the warm-started IPM into a false infeasibility or
+            # no-progress verdict. The warm start is only an accelerator
+            # here — re-solve cold before accepting a non-optimal outcome.
+            bad = (int(SolveStatus.PRIMAL_INFEAS),
+                   int(SolveStatus.DUAL_INFEAS),
+                   int(SolveStatus.NO_PROGRESS), int(SolveStatus.FAILED))
+            if s.get_info().status_ipm in bad:
+                s2 = LpSolver(p)
+                rc2 = s2.load_model(n, self.obj_batch[k], d["lb"], d["ub"],
+                                    m, d["Ap"], d["Ai"], d["Ax"],
+                                    self.b_batch[k], d["constr_type"])
+                assert rc2 == 0
+                status2 = s2.solve()
+                if s2.get_info().status_ipm not in bad \
+                        or status2 == 1000:
+                    status, s = status2, s2
             results.append((status, s.get_info(), s))
         return results
 

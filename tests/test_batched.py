@@ -106,9 +106,14 @@ def test_batched_1024_scenarios_with_polish():
 
     data = tg.transportation(20, 30, 0.2, seed=7)
     m = data["num_constr"]
+    ns = 20                      # rows [0, ns) are '<' supplies, rest '>='
     rng = np.random.default_rng(1)
     B = 1024
-    b_batch = data["rhs"][None, :] * rng.uniform(0.9, 1.1, size=(B, m))
+    # feasibility-preserving perturbations (supplies up, demands down)
+    fac = np.empty((B, m))
+    fac[:, :ns] = rng.uniform(1.0, 1.1, size=(B, ns))
+    fac[:, ns:] = rng.uniform(0.9, 1.0, size=(B, m - ns))
+    b_batch = data["rhs"][None, :] * fac
     # loose phase-1 budget: this test proves the B>=1000 pipeline runs and
     # stays consistent; examples/batch_scenarios_1000.py runs it full-depth
     sv = BatchedScenarioSolver(data, b_batch, phase1_maxiter=15,
