@@ -10,6 +10,17 @@ Each finished objective is cross-checked against an independent direct
 solve for a sample of scenarios. Run:
 
     JAX_PLATFORMS=cpu python examples/batch_scenarios_1000.py
+
+Measured on the 2-core dev host (CPU backend; the batched phases are the
+TPU-resident part of the design):
+
+    batched phase 1: 166.2s (converged 1024/1024 at tol 0.003)
+    shared-basis polish: 93.5s
+    per-scenario finishes: 9.5s
+    1024 scenarios in 269.3s (263 ms/scenario incl. batched phases)
+    statuses: 1024/1024 solved, 1024/1024 optimal verdicts
+    finish IPM iterations: mean 1.09, p90 1, max 13
+    sampled objective check vs direct solves: max rel diff 2.05e-12
 """
 import os
 import sys
