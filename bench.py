@@ -248,8 +248,15 @@ print(json.dumps({"dt": time.perf_counter() - t0, "status": status}))
 
 
 def main():
+    # best-of-2 on BOTH sides of the headline comparison: the 2-core VM's
+    # wall-clocks swing ~10-15% run to run, and a single sample can move
+    # the ratio either way
     t_solve, data, stats = full_solve()
+    t_solve2, _, _ = full_solve()
+    t_solve = min(t_solve, t_solve2)
     highs_ipm_s, highs_status = highs_solve_time(data, "highs-ipm")
+    highs_ipm_s2, _ = highs_solve_time(data, "highs-ipm")
+    highs_ipm_s = min(highs_ipm_s, highs_ipm_s2)
     highs_ds_s, _ = highs_solve_time(data, "highs-ds")
     # large-instance ratio (BASELINE.md's stated target regime): m=100k
     # transportation, same comparator
