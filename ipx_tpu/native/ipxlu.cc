@@ -149,6 +149,7 @@ struct IpxLu {
     std::vector<double> workd;       // dense-path accumulator
     std::vector<double> work2;
     std::vector<ipxint> stack, flag, pattern;
+    std::vector<ipxint> spat2, spat3;   // sparse-solve pattern workspaces
     ipxint flagstamp = 0;
 
     // stats of last solves (for hypersparsity accounting in the wrapper)
@@ -766,6 +767,8 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.stack.resize(2 * m);
     lu.flag.assign(m, -1);
     lu.pattern.resize(m);
+    lu.spat2.resize(m);
+    lu.spat3.resize(m);
     lu.flagstamp = 0;
     lu.ftran_sol.assign(m, 0.0);
     if (lu.update_mode == 1)
@@ -1272,13 +1275,14 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
         w[k] = bx[t];
         pat[npat++] = k;
     }
-    // L solve
-    std::vector<ipxint> pat2(m);
-    ipxint n2 = sparse_solve(lu.L, nullptr, lu, npat, pat, w, pat2.data());
+    // L solve (pattern workspaces live in lu: a fresh zero-initialized
+    // vector per hypersparse solve dominated the per-call cost)
+    ipxint* pat2 = lu.spat2.data();
+    ipxint n2 = sparse_solve(lu.L, nullptr, lu, npat, pat, w, pat2);
     // U solve from pattern of y
-    std::vector<ipxint> pat3(m);
-    ipxint n3 = sparse_solve(lu.U, lu.Udiag.data(), lu, n2, pat2.data(), w,
-                             pat3.data());
+    ipxint* pat3 = lu.spat3.data();
+    ipxint n3 = sparse_solve(lu.U, lu.Udiag.data(), lu, n2, pat2, w,
+                             pat3);
     // gather into basis-position space
     std::fill(x, x + m, 0.0);
     ipxint nz = 0;
@@ -1303,7 +1307,7 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
 
 // Sparse BTRAN of a unit vector e_pos (basis position). Returns nz or -1.
 static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
-                                ipxint* out_pat) {
+                                ipxint* out_pat, bool assume_zero = false) {
     const ipxint m = lu.m;
     if (lu.update_mode == 1 && lu.ft_valid) {
         // no hypersparsity in Forrest-Tomlin mode
@@ -1365,12 +1369,14 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
             pat0[np0++] = k;
         }
     }
-    std::vector<ipxint> pat2(m), pat3(m);
+    ipxint* pat2 = lu.spat2.data();
+    ipxint* pat3 = lu.spat3.data();
     ipxint n2 = sparse_solve(lu.Ut, lu.Udiag.data(), lu, np0, pat0, w,
-                             pat2.data());
-    ipxint n3 = sparse_solve(lu.Lt, nullptr, lu, n2, pat2.data(), w,
-                             pat3.data());
-    std::fill(x, x + m, 0.0);
+                             pat2);
+    ipxint n3 = sparse_solve(lu.Lt, nullptr, lu, n2, pat2, w,
+                             pat3);
+    if (!assume_zero)
+        std::fill(x, x + m, 0.0);
     ipxint nz = 0;
     for (ipxint t = 0; t < n3; t++) {
         ipxint k = pat3[t];
@@ -1903,14 +1909,38 @@ static ipxint xover_exchange(IpxLu& lu, ipxint* basis, ipxint* map2basis,
 // reference: src/basis.cc:216-284). Stages the BTRAN for a later update.
 // Keeps only nonbasic columns (map2basis -1, and -2 unless ignore_fixed).
 // Returns nz (pattern in rowpat, values dense in row) or -1 dense.
+// bt buffer convention: lu.xw_bt is kept ALL-ZERO between calls (the
+// dense zero-fill per hypersparse BTRAN dominated the push/maxvol/drop
+// loops). tableau_row_native restores the invariant before returning
+// unless keep_bt (then the caller clears after consuming bt).
+static void clear_bt(IpxLu& lu, double* bt, const ipxint* btpat,
+                     ipxint bnz) {
+    if (bnz >= 0) {
+        for (ipxint t = 0; t < bnz; t++) bt[btpat[t]] = 0.0;
+    } else {
+        std::fill(bt, bt + lu.m, 0.0);
+    }
+}
+
+// RAII helper: restores the all-zero bt invariant on every scope exit
+// (continue/break/fallthrough) of loop bodies that consume bt.
+struct clear_bt_guard {
+    IpxLu& lu;
+    double* bt;
+    const ipxint* btpat;
+    ipxint bnz;
+    ~clear_bt_guard() { clear_bt(lu, bt, btpat, bnz); }
+};
+
 static ipxint tableau_row_native(IpxLu& lu, const ipxint* map2basis,
                                  ipxint pos, int ignore_fixed, double* bt,
                                  ipxint* btpat, ipxint* bt_nz_out,
                                  double* row, ipxint* rowpat,
-                                 XoverCounts& c) {
+                                 XoverCounts& c, bool keep_bt = false) {
     const ipxint m = lu.m, n = lu.mb_n;
     double t0 = now_monotonic_s();
-    ipxint bnz = btran_sparse_unit(lu, pos, bt, btpat);
+    ipxint bnz = btran_sparse_unit(lu, pos, bt, btpat,
+                                   /*assume_zero=*/bt == lu.xw_bt.data());
     lu.btran_pos = pos;
     c.nbtran++;
     if (bnz >= 0 && bnz <= m / 10) c.nbtran_sparse++;
@@ -1964,6 +1994,7 @@ static ipxint tableau_row_native(IpxLu& lu, const ipxint* map2basis,
                 rowpat[nz++] = j;
             }
         }
+        if (!keep_bt) clear_bt(lu, bt, btpat, bnz);
         return nz;
     }
     // dense: dot each kept CSC column; slack entries from btran
@@ -1977,6 +2008,7 @@ static ipxint tableau_row_native(IpxLu& lu, const ipxint* map2basis,
     }
     for (ipxint i = 0; i < m; i++)
         row[n + i] = keep(n + i) ? bt[i] : 0.0;
+    if (!keep_bt) clear_bt(lu, bt, btpat, bnz);
     return -1;
 }
 
@@ -3626,7 +3658,8 @@ ipxint ipxlu_xover_dual(void* h, ipxint* basis, ipxint* map2basis,
         ipxint pos = mp >= m ? mp - m : mp;
         ipxint bnz;
         ipxint rnz = tableau_row_native(lu, map2basis, pos, 0, bt, btpat,
-                                        &bnz, row, rowpat, c);
+                                        &bnz, row, rowpat, c,
+                                        /*keep_bt=*/true);
 
         // two-pass ratio test (reference: src/crossover.cc:418-465)
         double step = z[jb];
@@ -3676,8 +3709,12 @@ ipxint ipxlu_xover_dual(void* h, ipxint* basis, ipxint* map2basis,
             double pivot = row[jn];
             ipxint xret = xover_exchange(lu, basis, map2basis, jb, jn,
                                          pivot, +1, fresh, c);
-            if (xret == 1) continue;       // retry push with fresh factors
-            if (xret > 1) { ret = xret; break; }
+            if (xret == 1) { clear_bt(lu, bt, btpat, bnz); continue; }
+            if (xret > 1) {
+                clear_bt(lu, bt, btpat, bnz);
+                ret = xret;
+                break;
+            }
             c.pivots++;
             step = z[jn] / pivot;
         }
@@ -3704,6 +3741,7 @@ ipxint ipxlu_xover_dual(void* h, ipxint* basis, ipxint* map2basis,
         }
         if (jn >= 0)
             z[jn] = 0.0;
+        clear_bt(lu, bt, btpat, bnz);
         c.pushes++;
         (*next_i)++;
     }
@@ -4148,7 +4186,8 @@ ipxint ipxlu_pivot_fixed_out(void* h, ipxint* basis, ipxint* map2basis,
         ipxint pos = mp >= m ? mp - m : mp;
         ipxint bnz;
         ipxint rnz = tableau_row_native(lu, map2basis, pos, 0, bt, btpat,
-                                        &bnz, row, rowpat, cc);
+                                        &bnz, row, rowpat, cc,
+                                        /*keep_bt=*/true);
         double rmax = 0.0, rmax_nonfixed = 0.0;
         ipxint jmax = -1, jmax_nonfixed = -1;
         auto score = [&](ipxint j, double piv) {
@@ -4167,6 +4206,7 @@ ipxint ipxlu_pivot_fixed_out(void* h, ipxint* basis, ipxint* map2basis,
             for (ipxint j = 0; j < n + m; j++)
                 if (row[j] != 0.0) score(j, row[j]);
 
+        clear_bt_guard guard{lu, bt, btpat, bnz};
         if (rmax > 4.0 && rmax_nonfixed < 1.0) {
             ipxint xret = xover_exchange(lu, basis, map2basis, jb, jmax,
                                          row[jmax], +1, fresh, cc);
