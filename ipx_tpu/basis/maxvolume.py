@@ -138,6 +138,12 @@ class Maxvolume:
 
         perm = np.argsort(invscale_basic, kind="stable")
         native = self._native_ctx(basis)
+        # (Measured dead end, kept as a note: grouping the slice BTRANs
+        # into blocked multi-RHS solves amortizes the factor traversal but
+        # the intra-group weight staleness degrades the refreshed basis —
+        # staircase-90k kkt2 512 -> 1046 — costing more CR time than the
+        # solves saved. Slices therefore keep per-slice exact BTRANs, as
+        # the reference does; reference: src/maxvolume.cc:155-199.)
         for s in range(num_slices):
             tblrow_used = np.zeros(m, dtype=bool)
             tblrow_used[perm[np.arange(m) % num_slices == s]] = True
@@ -178,9 +184,11 @@ class Maxvolume:
         return lib, handle
 
     def _driver_native(self, native, basis: Basis, colscale, invscale_basic,
-                       tblrow_used) -> int:
+                       tblrow_used, work=None) -> int:
         """Whole-slice driver in the native kernel (chunked for interrupt
-        checks); mirrors _driver/reference: src/maxvolume.cc:202-320."""
+        checks); mirrors _driver/reference: src/maxvolume.cc:202-320.
+        `work` optionally supplies a precomputed B' solve of the slice
+        vector (the blocked path in run_heuristic)."""
         import time as _t
         lib, handle = native
         md = basis.model
@@ -188,8 +196,9 @@ class Maxvolume:
                         else self.control.parameters.volume_tol, 1.0)
         maxskip = self.control.parameters.maxskip_updates
 
-        work = np.where(tblrow_used, invscale_basic, 0.0)
-        work = basis.solve_dense(work, "T")
+        if work is None:
+            work = np.where(tblrow_used, invscale_basic, 0.0)
+            work = basis.solve_dense(work, "T")
         mulh = md._native_mul()
         if mulh is not None:
             if not hasattr(lib, "_maxvolw_ready"):
