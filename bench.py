@@ -163,6 +163,28 @@ for name, dtype in (("f64", jnp.float64), ("f32", jnp.float32)):
     jax.block_until_ready(o)
     out[name + "_looped_rate"] = 3 * K / (time.perf_counter() - t0)
     print(json.dumps(out), flush=True)
+# batched normal-matrix apply (the TPU-native scenario-batch hot op):
+# per-vector-equivalent throughput at B=256 in f32
+B = 256
+nmd = NormalMatrixDevice(A, dtype=np.float32)
+W = jnp.asarray(np.broadcast_to(W64[:, None], (n + m, B)), dtype=jnp.float32)
+V = jnp.asarray(rng.standard_normal((m, B)), dtype=jnp.float32)
+K = 50
+def looped_b(V):
+    def body(i, U):
+        U = nmd.apply_batched(W, U)
+        return U / jnp.max(jnp.abs(U))
+    return lax.fori_loop(0, K, body, V)
+lfn = jax.jit(looped_b)
+t0 = time.perf_counter()
+o = lfn(V); jax.block_until_ready(o)
+out["f32_batched256_compile_s"] = time.perf_counter() - t0
+t0 = time.perf_counter()
+for _ in range(3):
+    o = lfn(V)
+jax.block_until_ready(o)
+out["f32_batched256_rate"] = 3 * K * B / (time.perf_counter() - t0)
+print(json.dumps(out), flush=True)
 print(json.dumps(out))
 """
 
@@ -329,6 +351,14 @@ def main():
                                                   0.0), 1),
             "device_f64_matvec_per_s": round(dev.get("f64_looped_rate",
                                                      0.0), 1),
+            # per-vector-equivalent rate of the batched (B=256) device
+            # normal-matrix apply — the scenario-batch hot op; compare to
+            # native_matvec_per_s (host best per-vector throughput)
+            "device_f32_batched256_matvec_per_s": round(
+                dev.get("f32_batched256_rate", 0.0), 1),
+            "device_vs_host_batched": round(
+                dev.get("f32_batched256_rate", 0.0) / native_rate, 2)
+            if dev.get("f32_batched256_rate") else None,
             "device_ok": bool(dev_ok),
             "naive_small_solve_s": round(naive_dt, 3) if naive_dt else None,
             "accel_small_solve_s": round(accel_small_dt, 3),

@@ -1,25 +1,22 @@
-"""Scatter-free sparse matrix-vector products for TPU.
+"""Sparse matrix-vector products for TPU.
 
-The XLA TPU pipeline on the target backend compiles 2D gathers
-(take_along_axis), per-lane cumulative sums (axis 0), and matmuls — but NOT
-1D gathers, scatters, or segment reductions. These primitives therefore
-express the normal-matrix products entirely through:
+Primary formulation (round 4, measured on the real chip): row-take with 1-D
+indices + segment_sum.  For a CSR matrix (row-sorted nonzeros):
 
-    gather (N,1)  +  lane-major cumsum  +  128x128 triangular matmul
-    +  boundary-difference segment reduction over SORTED segments.
+    A @ U  =  segment_sum(vals[:, None] * U[cols, :], rows, m)
 
-For a CSR matrix (row-sorted nonzeros):
+Both primitives lower efficiently on the current TPU backend (take ~5 ms and
+segment_sum ~5.6 ms for N=196k nnz, B=256 lanes — vs 1.4 s for the 2-D
+take_along_axis gather the previous formulation used).  Batched applies run
+at ~10k matvec/s-equivalent at B=256, ~4x the host native OMP kernel.
 
-    (A u)[i] = csum[rowptr[i+1]] - csum[rowptr[i]],
-    csum = prefix-sum of vals * u[cols].
+A legacy scatter-free formulation (gather + lane-major cumsum + boundary
+difference) is kept behind ``USE_CUMSUM`` for backends whose gather/scatter
+lowering regresses; it was required by older tunnel builds that compiled
+neither 1-D gathers nor scatters.
 
-The flat prefix sum is computed lane-major: reshape to (LANES, R), transpose,
-cumsum along the sublane axis (supported), then add per-lane offsets obtained
-with one (LANES x LANES) strictly-upper-triangular matmul.
-
-All in float64 (XLA emulates f64 elementwise/matmul on TPU). This layout is
-also the building block for the sharded (row-block) apply in
-ipx_tpu.parallel.
+All in float64 by default (XLA emulates f64 elementwise on TPU); f32 operand
+variants are used by the mixed-precision CR paths.
 """
 from __future__ import annotations
 
@@ -29,6 +26,11 @@ import numpy as np
 import scipy.sparse as sp
 
 LANES = 128
+
+# Fallback switch: True restores the legacy gather+cumsum+boundary-diff
+# formulation (needed only on backends that cannot lower 1-D gathers or
+# segment reductions).
+USE_CUMSUM = False
 
 
 def _pad_to(x: np.ndarray, mult: int, fill) -> np.ndarray:
@@ -55,6 +57,16 @@ class SpmvOperand:
         self.starts = jnp.asarray(indptr[:-1].astype(np.int64)).reshape(-1, 1)
         self.ends = jnp.asarray(indptr[1:].astype(np.int64)).reshape(-1, 1)
         self.num_segments = num_segments
+        # take+segment_sum formulation: flat int32 indices plus per-nnz
+        # segment (row) ids, padded entries land in segment num_segments
+        # which segment_sum drops
+        self.idx32 = jnp.asarray(idx.astype(np.int32))
+        nrows = len(indptr) - 1
+        rows = np.repeat(np.arange(nrows, dtype=np.int32),
+                         np.diff(indptr).astype(np.int64))
+        rows = _pad_to(rows, LANES, np.int32(num_segments))
+        rows[nnz:] = num_segments
+        self.seg = jnp.asarray(rows)
 
 
 _TRI_NP = np.triu(np.ones((LANES, LANES)), k=1)
@@ -80,36 +92,44 @@ def flat_cumsum(x, R: int):
 
 def apply_csr(op: SpmvOperand, u):
     """Computes A @ u for the CSR operand (or A' @ v for a CSC operand of
-    the same matrix): gather - multiply - prefix-sum - boundary diff."""
+    the same matrix)."""
+    import jax
     import jax.numpy as jnp
-    g = jnp.take_along_axis(u.reshape(-1, 1), op.gather_idx, axis=0)[:, 0]
-    contrib = op.vals * g
-    c = flat_cumsum(contrib, op.R)
-    cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
-    hi = jnp.take_along_axis(cext.reshape(-1, 1), op.ends, axis=0)[:, 0]
-    lo = jnp.take_along_axis(cext.reshape(-1, 1), op.starts, axis=0)[:, 0]
-    return hi - lo
+    if USE_CUMSUM:
+        g = jnp.take_along_axis(u.reshape(-1, 1), op.gather_idx, axis=0)[:, 0]
+        contrib = op.vals * g
+        c = flat_cumsum(contrib, op.R)
+        cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
+        hi = jnp.take_along_axis(cext.reshape(-1, 1), op.ends, axis=0)[:, 0]
+        lo = jnp.take_along_axis(cext.reshape(-1, 1), op.starts, axis=0)[:, 0]
+        return hi - lo
+    g = jnp.take(u, op.idx32, axis=0)
+    return jax.ops.segment_sum(op.vals * g, op.seg,
+                               num_segments=op.num_segments,
+                               indices_are_sorted=True)
 
 
 def apply_csr_batched(op: SpmvOperand, U):
-    """Batched A @ U for U of shape (n, B): same pattern with 2D lanes.
-
-    The gather/boundary lookups become axis-0 2D gathers directly (no
-    reshape); the prefix sum runs per batch column via cumsum(axis=0) over
-    (N, B) — supported since axis 0 is the sublane axis.
-    """
+    """Batched A @ U for U of shape (n, B)."""
+    import jax
     import jax.numpy as jnp
-    B = U.shape[1]
-    g = jnp.take_along_axis(U, jnp.broadcast_to(op.gather_idx, (op.N, B)),
-                            axis=0)
-    contrib = op.vals[:, None] * g
-    c = jnp.cumsum(contrib, axis=0)
-    cext = jnp.concatenate([jnp.zeros((1, B), dtype=c.dtype), c], axis=0)
-    m = op.starts.shape[0]
-    hi = jnp.take_along_axis(cext, jnp.broadcast_to(op.ends, (m, B)), axis=0)
-    lo = jnp.take_along_axis(cext, jnp.broadcast_to(op.starts, (m, B)),
-                             axis=0)
-    return hi - lo
+    if USE_CUMSUM:
+        B = U.shape[1]
+        g = jnp.take_along_axis(U, jnp.broadcast_to(op.gather_idx, (op.N, B)),
+                                axis=0)
+        contrib = op.vals[:, None] * g
+        c = jnp.cumsum(contrib, axis=0)
+        cext = jnp.concatenate([jnp.zeros((1, B), dtype=c.dtype), c], axis=0)
+        m = op.starts.shape[0]
+        hi = jnp.take_along_axis(cext, jnp.broadcast_to(op.ends, (m, B)),
+                                 axis=0)
+        lo = jnp.take_along_axis(cext, jnp.broadcast_to(op.starts, (m, B)),
+                                 axis=0)
+        return hi - lo
+    g = jnp.take(U, op.idx32, axis=0)
+    return jax.ops.segment_sum(op.vals[:, None] * g, op.seg,
+                               num_segments=op.num_segments,
+                               indices_are_sorted=True)
 
 
 class NormalMatrixDevice:

@@ -204,23 +204,30 @@ class SharedBasisBatchedPolish:
         # masked arithmetic over inf bounds (the batched step was written
         # for jit where numpy's invalid-op warnings do not exist)
         with np.errstate(invalid="ignore", divide="ignore"):
-            mu_prev = np.asarray(ph._mu_of(S))
+            best_mu = np.asarray(ph._mu_of(S)).copy()
+            since_improve = 0
             for _ in range(self.maxiter):
                 S = {k: np.asarray(v) for k, v in ph._ipm_step(S).items()}
                 if bool(np.all(S["done"])):
                     break
                 # Stagnation exit: the shared basis preconditions well only
                 # while the scenario iterates stay near the scaling it was
-                # refined for. Once no unconverged scenario improves its
-                # complementarity meaningfully, stop — the caller hands
-                # those scenarios to per-scenario finishes (the done mask
-                # says which).
+                # refined for. IPM progress under a fixed preconditioner is
+                # noisy/non-monotone, so judge against the best
+                # complementarity seen per scenario over a window: stop when
+                # no unconverged scenario has improved its best mu by >=10%
+                # within the last 15 steps — the caller hands those scenarios
+                # to per-scenario finishes (the done mask says which).
                 mu = np.asarray(ph._mu_of(S))
                 active = ~np.asarray(S["done"])
-                if active.any() and np.all(
-                        mu[active] > 0.5 * mu_prev[active]):
-                    break
-                mu_prev = mu
+                improved = mu < 0.9 * best_mu
+                best_mu = np.minimum(best_mu, mu)
+                if active.any() and not bool(np.any(improved[active])):
+                    since_improve += 1
+                    if since_improve >= 15:
+                        break
+                else:
+                    since_improve = 0
             S["pobj"] = np.sum(np.asarray(ph.cT) * S["X"], axis=0)
             S["mu"] = np.asarray(ph._mu_of(S))
         return S

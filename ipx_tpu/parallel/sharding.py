@@ -230,34 +230,45 @@ class ShardedDiagCR:
             r0 = rhs_p
             s0, _ = P_(r0)
             cs0, cdot0 = C(s0)
-            state0 = (y0, r0, s0, cs0, s0, cs0, cdot0, jnp.int64(0))
+            # err mirrors the native CR breakdown ladder (202 matrix not
+            # posdef, 203 precond not posdef, 205 inf/nan); a nonzero err
+            # exits the loop with the iterate frozen
+            state0 = (y0, r0, s0, cs0, s0, cs0, cdot0, jnp.int64(0),
+                      jnp.int64(0))
 
             def cond(state):
-                _, r, *_, it = state
-                return (resnorm_of(r) > tol) & (it < maxiter)
+                _, r, *_, it, err = state
+                return (resnorm_of(r) > tol) & (it < maxiter) & (err == 0)
 
             def body(state):
-                y, r, s, cs, d, cd, cdot, it = state
+                y, r, s, cs, d, cd, cdot, it, err = state
                 pcd, pdot = P_(cd)
+                err = jnp.where(cdot <= 0.0, jnp.int64(202), err)
+                err = jnp.where(pdot <= 0.0, jnp.int64(203), err)
                 alpha = cdot / pdot
+                err = jnp.where(~jnp.isfinite(alpha), jnp.int64(205), err)
+                ok = err == 0
+                alpha = jnp.where(ok, alpha, 0.0)
                 y = y + alpha * d
                 r = r - alpha * cd
                 s = s - alpha * pcd
                 cs, cdot_new = C(s)
-                beta = cdot_new / cdot
+                err = jnp.where(ok & ~jnp.isfinite(cdot_new),
+                                jnp.int64(205), err)
+                beta = jnp.where(ok, cdot_new / cdot, 0.0)
                 d = s + beta * d
                 cd = cs + beta * cd
-                return (y, r, s, cs, d, cd, cdot_new, it + 1)
+                return (y, r, s, cs, d, cd, cdot_new, it + 1, err)
 
             state = jax.lax.while_loop(cond, body, state0)
-            return state[0], state[7], resnorm_of(state[1])
+            return state[0], state[7], resnorm_of(state[1]), state[8]
 
         spec_blk = {k: P("rows") for k in snm.arrays}
         fn = shard_map(
             cr_local, mesh=self.mesh,
             in_specs=(spec_blk, P(), P("rows"), P("rows"), P("rows"),
                       P("rows"), P(), P()),
-            out_specs=(P("rows"), P(), P()),
+            out_specs=(P("rows"), P(), P(), P()),
             check_vma=False)
         self._fn = jax.jit(fn)
 
@@ -283,13 +294,18 @@ class ShardedDiagCR:
         W_slack_p = pad_m(W_slack)
         diag_p = pad_m(diag, fill=1.0)      # padding rows stay SPD
         resscale_p = pad_m(resscale)        # padded rows never terminate
-        y, iters, resnorm = self._fn(
+        y, iters, resnorm, err = self._fn(
             snm.arrays, jnp.asarray(W_struct), W_slack_p, diag_p,
             resscale_p, rhs_p, jnp.float64(tol), jnp.int64(maxiter))
         y = np.asarray(y)[:snm.m]
         iters = int(np.asarray(iters).ravel()[0])
-        errflag = 201 if float(np.asarray(resnorm).ravel()[0]) > tol else 0
-        return y, iters, errflag
+        err = int(np.asarray(err).ravel()[0])
+        resnorm = float(np.asarray(resnorm).ravel()[0])
+        # success only on a finite residual within tolerance; a NaN residual
+        # must never read as converged (errflag policy per ADVICE r3)
+        if err == 0 and not (np.isfinite(resnorm) and resnorm <= tol):
+            err = 205 if not np.isfinite(resnorm) else 201
+        return y, iters, err
 
 
 def sharded_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
