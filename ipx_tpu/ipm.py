@@ -219,8 +219,15 @@ class IPM:
             if self.phase1_trend_switch:
                 hist = self._kkt_iter_hist
                 hist.append(kkt.iter)   # CR iters since this factorize
-                if (len(hist) >= 4 and hist[-1] > max(200, m // 64)
-                        and hist[-1] > hist[-2] > hist[-3] > hist[-4]):
+                # Fire once the count is large for the problem size AND has
+                # grown >= 1.5x over the last three iterations AND is still
+                # growing. (Strict 4-term monotonicity never fired on real
+                # wobbly sequences; measured on transportation m=20k this
+                # switches ~3 iterations earlier, saving ~45% of kktiter1
+                # for a few extra cheap phase-2 iterations.)
+                if (len(hist) >= 4 and hist[-1] > max(150, m // 96)
+                        and hist[-1] > hist[-2]
+                        and hist[-1] > 1.5 * hist[-4]):
                     info.status_ipm = int(SolveStatus.NO_PROGRESS)
                     break
 

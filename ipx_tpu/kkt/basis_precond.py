@@ -132,6 +132,8 @@ class KKTSolverBasis(KKTSolver):
                 return
         self.splitted.prepare(self.basis, self.colscale)
         self._prepare_device()
+        self._epoch_lhs = None      # slot-space warm start, valid only for
+                                    # this prepared operator
         self.factorized = True
 
     def _prepare_device(self) -> None:
@@ -156,9 +158,11 @@ class KKTSolverBasis(KKTSolver):
     # ------------------------------------------------------------------
     def _solve(self, a: np.ndarray, b: np.ndarray, tol: float, info: Info,
                y0=None):
-        # y0 (warm start) is unused: the basis-preconditioned CR converges
-        # in few iterations, so a warm start does not pay for its extra
-        # operator application.
+        # y0 (the row-space warm start the IPM offers) is unused — mapping
+        # it into slot space costs a B' solve. Instead the native CR warm
+        # starts the CORRECTOR from the predictor's slot-space solution of
+        # the same factorize epoch (no transform needed; the kernel keeps
+        # the zero start whenever the warm residual is not smaller).
         """reference: src/kkt_solver_basis.cc:75-194"""
         md = self.model
         m, n = md.num_rows, md.num_cols
@@ -241,11 +245,14 @@ class KKTSolverBasis(KKTSolver):
                 deadline = _t.monotonic() + max(remaining, 0.0)
             t0 = perf_counter()
             lhs, iters, errflag = self.splitted.native_cr(
-                workp, tol, self.maxiter, deadline)
+                workp, tol, self.maxiter, deadline,
+                warm=getattr(self, "_epoch_lhs", None))
             info.errflag = errflag
             info.kktiter2 += iters
             info.time_cr2 += perf_counter() - t0
             self._iters += iters
+            if errflag == 0:
+                self._epoch_lhs = lhs
         else:
             lhs = np.zeros(m)
             cr = ConjugateResiduals(self.control)

@@ -115,7 +115,8 @@ class SplittedNormalMatrix(LinearOperator):
                                                        DA, I, IA]
                 lib.ipxlu_cr_basis.restype = I
                 lib.ipxlu_cr_basis.argtypes = [P_, DA, D, I, D, DA,
-                                               ct.POINTER(I), DA]
+                                               ct.POINTER(I), DA,
+                                               ct.c_void_p]
                 lib._splitted_ready = True
             N = self.N
             Np = np.ascontiguousarray(N.indptr, dtype=np.int64)
@@ -132,18 +133,25 @@ class SplittedNormalMatrix(LinearOperator):
             self._native = None
 
     def native_cr(self, rhs: np.ndarray, tol: float, maxiter: int,
-                  deadline: float):
-        """Whole CR loop in the native kernel. Returns
-        (lhs, iters, errflag, (time_B, time_Bt, time_NNt))."""
+                  deadline: float, warm: np.ndarray = None):
+        """Whole CR loop in the native kernel. `warm` optionally supplies a
+        slot-space starting solution (valid for the SAME prepared operator
+        only); the kernel falls back to the zero start whenever the warm
+        residual is not smaller. Returns (lhs, iters, errflag)."""
         import ctypes as ct
         lib, handle = self._native
         m = self.model.num_rows
         lhs = np.zeros(m)
         iters = ct.c_int64(0)
         times = np.zeros(3)
+        if warm is not None:
+            warm = np.ascontiguousarray(warm, dtype=np.float64)
+            wptr = warm.ctypes.data_as(ct.c_void_p)
+        else:
+            wptr = None
         err = int(lib.ipxlu_cr_basis(
             handle, np.ascontiguousarray(rhs, dtype=np.float64), tol,
-            maxiter, deadline, lhs, ct.byref(iters), times))
+            maxiter, deadline, lhs, ct.byref(iters), times, wptr))
         self.time_B += times[0]
         self.time_Bt += times[1]
         self.time_NNt += times[2]

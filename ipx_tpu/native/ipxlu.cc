@@ -4544,7 +4544,7 @@ void ipxlu_splitted_prepare(void* h, ipxint ncols, const ipxint* Np,
 // operator-time split for Info.
 ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
                       double deadline_s, double* lhs, ipxint* out_iters,
-                      double* out_times) {
+                      double* out_times, const double* lhs0) {
     IpxLu& lu = *static_cast<IpxLu*>(h);
     const ipxint m = lu.m;
     if (!lu.have_splitted) return -2;
@@ -4557,6 +4557,24 @@ ipxint ipxlu_cr_basis(void* h, const double* rhs, double tol, ipxint maxiter,
     double* Cstep = lu.s_Cstep.data();
     std::memcpy(residual, rhs, m * sizeof(double));
     std::fill(lhs, lhs + m, 0.0);
+    if (lhs0 != nullptr) {
+        // warm start (one extra operator application): residual of lhs0
+        // vs the zero start, keep whichever is smaller in the inf-norm —
+        // a bad warm start can never make the solve worse
+        double* Cw = lu.s_Cstep.data();     // scratch before CR state init
+        splitted_apply(lu, lhs0, Cw);
+        double rn_warm = 0.0, rn_zero = 0.0;
+        for (ipxint i = 0; i < m; i++) {
+            rn_warm = std::max(rn_warm, std::fabs(rhs[i] - Cw[i]));
+            rn_zero = std::max(rn_zero, std::fabs(rhs[i]));
+        }
+        if (std::isfinite(rn_warm) && rn_warm < rn_zero) {
+            for (ipxint i = 0; i < m; i++) {
+                residual[i] = rhs[i] - Cw[i];
+                lhs[i] = lhs0[i];
+            }
+        }
+    }
     double cdot = splitted_apply(lu, residual, Cres);
     // fused init: step/Cstep copies + denom + initial inf-norm in one sweep
     double denom = 0.0, resnorm = 0.0;
