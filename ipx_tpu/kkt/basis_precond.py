@@ -132,9 +132,43 @@ class KKTSolverBasis(KKTSolver):
                 return
         self.splitted.prepare(self.basis, self.colscale)
         self._prepare_device()
+        self._prepare_sharded()
         self._epoch_lhs = None      # slot-space warm start, valid only for
                                     # this prepared operator
         self.factorized = True
+
+    def _prepare_sharded(self) -> None:
+        """Phase-2 NNt sharded over the device mesh when Parameters.shards
+        > 1 (VERDICT r3 item 2: the splitted operator was the missing
+        mesh-parallel phase; B/B' solves stay on host). One jitted program
+        serves all epochs — only the packed operand changes."""
+        params = self.control.parameters
+        self._sharded2 = None
+        if params.shards is None or params.shards <= 1:
+            return
+        try:
+            md = self.model
+            cached = getattr(md, "_sharded_nnt", None)
+            if cached is None or cached[0] != params.shards:
+                from ..parallel.sharding import (ShardedSplittedNNt,
+                                                 ShardedPhase2CR)
+                # N always has exactly num_cols columns (nonbasic count)
+                nnt = ShardedSplittedNNt(
+                    md.num_rows, md.num_cols,
+                    md.A.nnz + md.num_rows, int(params.shards))
+                md._sharded_nnt = (params.shards, nnt,
+                                   ShardedPhase2CR(nnt))
+                cached = md._sharded_nnt
+            _, nnt, cr = cached
+            if nnt.set_operand(self.splitted.N):
+                self._sharded2 = cr
+            else:
+                self.control.log(
+                    " sharded phase-2 operand overflow; host path\n")
+        except Exception as e:
+            self.control.log(
+                f" sharded phase-2 unavailable ({e}); host path\n")
+            self._sharded2 = None
 
     def _prepare_device(self) -> None:
         """Device phase-2 CR (NN' + recurrence jitted, B/B' solves via host
@@ -235,6 +269,20 @@ class KKTSolverBasis(KKTSolver):
                 self._iters += iters
         if device_done:
             pass
+        elif getattr(self, "_sharded2", None) is not None:
+            from time import perf_counter
+            cr = self._sharded2
+            cr.time_B = cr.time_Bt = cr.time_NNt = 0.0
+            t0 = perf_counter()
+            lhs, iters, errflag = cr.solve(self.splitted, workp, tol,
+                                           self.maxiter)
+            info.errflag = errflag
+            info.kktiter2 += iters
+            info.time_cr2 += perf_counter() - t0
+            info.time_cr2_NNt += cr.time_NNt
+            info.time_cr2_B += cr.time_B
+            info.time_cr2_Bt += cr.time_Bt
+            self._iters += iters
         elif getattr(self.splitted, "_native", None) is not None:
             from time import perf_counter
             deadline = 0.0

@@ -176,9 +176,18 @@ class ShardedNormalMatrix:
 
 
 def make_row_mesh(num_blocks: int):
-    """1D mesh over the first num_blocks devices (axis "rows")."""
+    """1D mesh over the first num_blocks devices (axis "rows"). Falls back
+    to the CPU backend's (virtual) devices when the primary platform has
+    too few — the axon plugin pins the primary platform to one real chip
+    regardless of JAX_PLATFORMS, while tests/dryruns provide an 8-device
+    virtual CPU mesh."""
     jax = _jx()
     devs = jax.devices()
+    if len(devs) < num_blocks:
+        try:
+            devs = jax.local_devices(backend="cpu")
+        except Exception:
+            pass
     if len(devs) < num_blocks:
         raise RuntimeError(
             f"shards={num_blocks} but only {len(devs)} devices visible")
@@ -475,3 +484,173 @@ def sharded_batched_cr_solve(snm: ShardedNormalMatrix, W_struct, W_slack,
         check_vma=False)
     Y, iters = jax.jit(fn)(snm.arrays, W_struct, W_slack_p, diag_p, RHS_p)
     return np.asarray(Y)[:snm.m], int(np.asarray(iters).ravel()[0])
+
+
+class ShardedSplittedNNt:
+    """Column-sharded N N' apply for the PHASE-2 splitted operator
+    (counterpart of the NNt pass in reference: src/splitted_normal_matrix.cc
+    :90-117, re-architected for a device mesh): each device holds a block of
+    the scaled nonbasic columns N_p and computes N_p (N_p' w); a psum over
+    the mesh axis assembles the full product. The B / B' triangular solves
+    stay on host (sequential by nature), so the phase-2 CR becomes
+    host-solve -> device sharded NNt -> host-solve per iteration.
+
+    Static shapes: the nonbasic count is exactly n every epoch, so the
+    per-block arrays are padded to fixed capacities at construction and ONE
+    jitted program serves every factorize epoch (operands are runtime
+    arguments).
+    """
+
+    def __init__(self, m: int, n: int, nnz_cap: int, num_blocks: int,
+                 mesh=None):
+        jax = _jx()
+        self.m = m
+        self.n = n
+        self.num_blocks = num_blocks
+        self.cols_block = -(-n // num_blocks) if n else 1
+        # worst-case block nnz with contiguous equal-count column blocks is
+        # bounded by the total; 2x average + slack absorbs imbalance
+        self.cap = _pad_to(
+            np.zeros(max(2 * (-(-nnz_cap // num_blocks)) + LANES, LANES)),
+            LANES, 0.0).size
+        self.mesh = mesh if mesh is not None else make_row_mesh(num_blocks)
+        self._fn = None
+        self.applies = 0          # mesh-path applies (dryrun evidence)
+
+    def set_operand(self, N) -> bool:
+        """Packs a fresh epoch's N (m x n csc). Returns False when a block
+        overflows the static capacity (caller falls back to the host path).
+        """
+        jax = _jx()
+        jnp = jax.numpy
+        nb, cb, cap = self.num_blocks, self.cols_block, self.cap
+        N = N.tocsc()
+        if N.shape[1] > nb * cb:
+            return False
+        vals = np.zeros((nb, cap))
+        rows = np.zeros((nb, cap), dtype=np.int32)
+        cols = np.zeros((nb, cap), dtype=np.int32)   # local column ids
+        for p in range(nb):
+            c0, c1 = p * cb, min((p + 1) * cb, N.shape[1])
+            if c0 >= N.shape[1]:
+                continue
+            lo, hi = N.indptr[c0], N.indptr[c1]
+            nz = hi - lo
+            if nz > cap:
+                return False
+            vals[p, :nz] = N.data[lo:hi]
+            rows[p, :nz] = N.indices[lo:hi]
+            ptr = N.indptr[c0:c1 + 1] - lo
+            cols[p, :nz] = np.repeat(
+                np.arange(c1 - c0, dtype=np.int32), np.diff(ptr))
+            # padding: col id cb (dropped by segment_sum), row id m (ditto)
+            cols[p, nz:] = cb
+            rows[p, nz:] = self.m
+        self._vals = jnp.asarray(vals)
+        self._rows = jnp.asarray(rows)
+        self._cols = jnp.asarray(cols)
+        return True
+
+    def _build(self):
+        jax = _jx()
+        jnp = jax.numpy
+        from jax.sharding import PartitionSpec as P
+        m, cb = self.m, self.cols_block
+
+        def nnt_local(vals, rows, cols, w):
+            vals = vals.reshape(-1)
+            rows = rows.reshape(-1)
+            cols = cols.reshape(-1)
+            g = jnp.take(w, rows, axis=0, mode="fill", fill_value=0.0)
+            u = jax.ops.segment_sum(vals * g, cols, num_segments=cb + 1,
+                                    indices_are_sorted=True)
+            h = jnp.take(u, cols, axis=0)
+            out = jax.ops.segment_sum(vals * h, rows, num_segments=m + 1)
+            return jax.lax.psum(out[:m], "rows")
+
+        fn = jax.shard_map(
+            nnt_local, mesh=self.mesh,
+            in_specs=(P("rows"), P("rows"), P("rows"), P()),
+            out_specs=P(), check_vma=False)
+        self._fn = jax.jit(fn)
+
+    def apply(self, w: np.ndarray) -> np.ndarray:
+        if self._fn is None:
+            self._build()
+        self.applies += 1
+        out = self._fn(self._vals, self._rows, self._cols,
+                       np.ascontiguousarray(w, dtype=np.float64))
+        return np.asarray(out)
+
+
+class ShardedPhase2CR:
+    """Phase-2 CR with the NNt product sharded over the mesh and the B/B'
+    solves on host. Same contract as the native phase-2 engine
+    (inf-norm termination, breakdown codes 201/202/205); slot space with
+    BASIC_FREE zeroed."""
+
+    def __init__(self, nnt: ShardedSplittedNNt):
+        self.nnt = nnt
+        self.time_B = 0.0
+        self.time_Bt = 0.0
+        self.time_NNt = 0.0
+
+    def _apply(self, splitted, v):
+        from time import perf_counter
+        s = splitted.uscale
+        t0 = perf_counter()
+        w = splitted._basis.solve_dense(v / s, "T")
+        self.time_Bt += perf_counter() - t0
+        t0 = perf_counter()
+        nn = self.nnt.apply(w)
+        self.time_NNt += perf_counter() - t0
+        t0 = perf_counter()
+        lhs = splitted._basis.solve_dense(nn, "N") / s
+        self.time_B += perf_counter() - t0
+        lhs = lhs + v
+        if splitted.free_positions.size:
+            lhs[splitted.free_positions] = 0.0
+        return lhs
+
+    def solve(self, splitted, rhs: np.ndarray, tol: float, maxiter: int):
+        """Returns (lhs, iters, errflag)."""
+        m = rhs.size
+        if maxiter < 0:
+            maxiter = m + 100
+        lhs = np.zeros(m)
+        r = rhs.copy()
+        Cr = self._apply(splitted, r)
+        cdot = float(r @ Cr)
+        step = r.copy()
+        Cstep = Cr.copy()
+        denom = float(Cr @ Cr)
+        it = 0
+        err = 0
+        while True:
+            resnorm = float(np.max(np.abs(r))) if m else 0.0
+            if np.isfinite(resnorm) and resnorm <= tol:
+                break
+            if it >= maxiter:
+                err = 201
+                break
+            if not np.isfinite(resnorm):
+                err = 205
+                break
+            if cdot <= 0.0:
+                err = 202
+                break
+            alpha = cdot / denom
+            if not np.isfinite(alpha):
+                err = 205
+                break
+            lhs += alpha * step
+            r -= alpha * Cstep
+            Cr = self._apply(splitted, r)
+            cdot_new = float(r @ Cr)
+            beta = cdot_new / cdot
+            step = r + beta * step
+            Cstep = Cr + beta * Cstep
+            denom = float(Cstep @ Cstep)
+            cdot = cdot_new
+            it += 1
+        return lhs, it, err
