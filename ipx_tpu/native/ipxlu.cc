@@ -160,6 +160,7 @@ struct IpxLu {
     double t_s_scan = 0.0, t_s_col = 0.0, t_s_row = 0.0;
     ipxint n_steps = 0;
     long long n_cloop = 0, n_cvisit = 0, n_centry = 0;
+    double t_mv_scan = 0.0; long long n_mv_scans = 0;
     double t_last_factorize = 0.0;   // wall clock of the last factorize()
     ipxint elim_stamp = 0;        // monotone stamp counter (never reset)
 
@@ -1857,6 +1858,20 @@ static void ftran_block_build(IpxLu& lu, const ipxint* cols, int W,
             for (int t = 0; t < W; t++) xi[t] -= ev * xp[t];
         }
     }
+    // transpose to candidate-major (W x m): every per-candidate pass
+    // downstream (consume/score) then streams ONE contiguous column
+    // instead of a stride-W gather that touches the whole block
+    {
+        static thread_local std::vector<double> Xtv;
+        Xtv.assign((size_t)m * W, 0.0);
+        double* Xt = Xtv.data();
+        for (ipxint k = 0; k < m; k++) {
+            const double* xk = X + (size_t)k * W;
+            for (int t = 0; t < W; t++)
+                Xt[(size_t)t * m + k] = xk[t];
+        }
+        lu.bb_X.swap(Xtv);
+    }
     lu.bb_eta_base = lu.etas.size();
     lu.bb_gen = lu.factor_gen;
     c.t_ftran += now_monotonic_s() - t0;
@@ -1879,8 +1894,7 @@ static ipxint ftran_from_block(IpxLu& lu, ipxint jn, XoverCounts& c,
     double t0 = now_monotonic_s();
     double* x = lu.xw_ft.data();
     const double* X = lu.bb_X.data();
-    const int W = (int)lu.bb_W;
-    for (ipxint k = 0; k < m; k++) x[k] = X[(size_t)k * W + slot];
+    std::memcpy(x, X + (size_t)slot * m, m * sizeof(double));
     // etas appended since the block was built
     for (size_t q = lu.bb_eta_base; q < lu.etas.size(); q++) {
         const Eta& e = lu.etas[q];
@@ -2953,6 +2967,8 @@ void ipxlu_get_search_times(void* h, double* out4) {
     out4[4] = (double)lu.n_cloop;
     out4[5] = (double)lu.n_cvisit;
     out4[6] = (double)lu.n_centry;
+    out4[7] = lu.t_mv_scan;
+    out4[8] = (double)lu.n_mv_scans;
 }
 
 ipxint ipxlu_need_fresh(void* h) {
@@ -4356,6 +4372,8 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
         if (now_monotonic_s() > pause_abs_s) { ret = 3; break; }
         if (ncand == 0) {
             fresh_scan = true;
+            const double t_sc0 = now_monotonic_s();
+            lu.n_mv_scans++;
             for (ipxint j = 0; j < total; j++) {
                 double a = std::fabs(colweights[j]);
                 if (ncand == K && a <= cw[0]) continue;
@@ -4380,6 +4398,7 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
                 cw[t] = a;
                 cand[t] = j;
             }
+            lu.t_mv_scan += now_monotonic_s() - t_sc0;
             if (ncand == 0) break;
         }
         ipxint jn = cand[ncand - 1];
@@ -4415,16 +4434,68 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
         double dn = cs[jn];
         ipxint pmax = -1;
         double vmax = 0.0;
+        double weight_recomp = 0.0;
         auto score = [&](ipxint p, double piv) {
             if (std::fabs(piv) <= pivot_zero_tol) return;
             double v = std::fabs(piv * dn * invscale[p]);
             if (v > vmax) { vmax = v; pmax = p; }
         };
-        if (fnz >= 0)
+        if (fnz >= 0) {
             for (ipxint t = 0; t < fnz; t++) score(ftpat[t], ft[ftpat[t]]);
-        else
-            for (ipxint p = 0; p < m; p++)
-                if (ft[p] != 0.0) score(p, ft[p]);
+            for (ipxint t = 0; t < fnz; t++) {
+                ipxint p = ftpat[t];
+                if (tblrow_used[p])
+                    weight_recomp += ft[p] * dn * invscale[p];
+            }
+        } else {
+            // dense FTRAN result: ONE fused pass computes the pivot argmax
+            // AND the slice-weight recomputation (was two full m-passes,
+            // the dominant maxvolume cost on dense-fill bases)
+            double vb = 0.0, wr = 0.0;
+            ipxint pb = -1;
+#ifdef _OPENMP
+            if (m >= (ipxint)1 << 16 && omp_get_max_threads() > 1) {
+#pragma omp parallel
+                {
+                    double tvb = 0.0, twr = 0.0;
+                    ipxint tpb = -1;
+#pragma omp for schedule(static) nowait
+                    for (ipxint p = 0; p < m; p++) {
+                        double f = ft[p];
+                        if (f == 0.0) continue;
+                        double sc = dn * invscale[p];
+                        if (std::fabs(f) > pivot_zero_tol) {
+                            double v = std::fabs(f * sc);
+                            if (v > tvb) { tvb = v; tpb = p; }
+                        }
+                        if (tblrow_used[p]) twr += f * sc;
+                    }
+#pragma omp critical
+                    {
+                        if (tvb > vb || (tvb == vb && tpb >= 0
+                                         && (pb < 0 || tpb < pb))) {
+                            vb = tvb;
+                            pb = tpb;
+                        }
+                        wr += twr;
+                    }
+                }
+            } else
+#endif
+            for (ipxint p = 0; p < m; p++) {
+                double f = ft[p];
+                if (f == 0.0) continue;
+                double sc = dn * invscale[p];
+                if (std::fabs(f) > pivot_zero_tol) {
+                    double v = std::fabs(f * sc);
+                    if (v > vb) { vb = v; pb = p; }
+                }
+                if (tblrow_used[p]) wr += f * sc;
+            }
+            vmax = vb;
+            pmax = pb;
+            weight_recomp = wr;
+        }
 
         if (pmax < 0 || vmax <= volumetol) {
             colweights[jn] = 0.0;
@@ -4434,20 +4505,6 @@ ipxint ipxlu_maxvol_slice(void* h, ipxint* basis, ipxint* map2basis,
             skipstate[0]++;
             if (maxskip >= 0 && skipstate[0] > maxskip) break;
             continue;
-        }
-
-        // recomputed column weight from the scaled FTRAN over slice rows
-        double weight_recomp = 0.0;
-        if (fnz >= 0) {
-            for (ipxint t = 0; t < fnz; t++) {
-                ipxint p = ftpat[t];
-                if (tblrow_used[p])
-                    weight_recomp += ft[p] * dn * invscale[p];
-            }
-        } else {
-            for (ipxint p = 0; p < m; p++)
-                if (tblrow_used[p] && ft[p] != 0.0)
-                    weight_recomp += ft[p] * dn * invscale[p];
         }
 
         ipxint jb = basis[pmax];
