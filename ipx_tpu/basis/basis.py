@@ -448,6 +448,22 @@ class Basis:
         z[nonbasic] = (md.c - aty)[nonbasic]
 
     # -- basis construction ---------------------------------------------
+    def load_basis(self, basis_array: np.ndarray) -> int:
+        """Installs an externally supplied basis (m variable indices into
+        AI) and factorizes it. Returns 0 on success, nonzero errflag when
+        the basis is singular/unusable (caller falls back to normal
+        construction). No reference counterpart — used by the scenario-
+        batch pipeline to share one starting basis across finishes."""
+        m = self.model.num_rows
+        arr = np.asarray(basis_array, dtype=np.int64)
+        if arr.shape != (m,) or np.unique(arr).size != m \
+                or arr.min() < 0 or arr.max() >= self.model.num_cols + m:
+            return int(Errflag.INVALID_BASIS)
+        self.basis[:] = arr
+        self.map2basis[:] = -1
+        self.map2basis[arr] = np.arange(m)
+        return self.factorize()
+
     def construct_basis_from_weights(self, colweights: np.ndarray,
                                      info: Info) -> None:
         """reference: src/basis.cc:353-385"""
@@ -625,11 +641,13 @@ class Basis:
         info.dependent_cols = 0
         stability_pivots = 0
 
-        remaining = [int(j) for j in range(n + m)
-                     if np.isinf(colweights[j]) and self.map2basis[j] < 0]
+        remaining = np.nonzero(np.isinf(colweights)
+                               & (self.map2basis < 0))[0].tolist()
         self.control.debug(
             Control.textline("Number of free variables nonbasic:")
             + f"{len(remaining)}\n")
+        if not remaining:
+            return
 
         self.control.reset_print_interval()
         cw = np.ascontiguousarray(colweights, dtype=np.float64)
@@ -744,11 +762,13 @@ class Basis:
         xfix = np.where(fixed_nonzero, lb, 0.0)
         b_minus_fixed = md.b - md.AI_mul(xfix)
 
-        remaining = [int(j) for j in range(n, n + m)
-                     if colweights[j] == 0.0 and self.map2basis[j] >= 0]
+        remaining = (n + np.nonzero((colweights[n:] == 0.0)
+                                    & (self.map2basis[n:] >= 0))[0]).tolist()
         self.control.debug(
             Control.textline("Number of fixed variables basic:")
             + f"{len(remaining)}\n")
+        if not remaining:
+            return
 
         self.control.reset_print_interval()
         cw = np.ascontiguousarray(colweights, dtype=np.float64)

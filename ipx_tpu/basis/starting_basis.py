@@ -17,8 +17,13 @@ from .basis import BASIC_FREE, NONBASIC_FIXED, Basis
 INF = np.inf
 
 
-def build_starting_basis(iterate: Iterate, basis: Basis, info: Info) -> None:
-    """reference: src/starting_basis.cc:129-182"""
+def build_starting_basis(iterate: Iterate, basis: Basis, info: Info,
+                         preset: np.ndarray = None) -> None:
+    """reference: src/starting_basis.cc:129-182. `preset` optionally
+    supplies a known-good basis (variable indices) to install instead of
+    crash construction — the scenario-batch pipeline shares the mean
+    scenario's basis across all finishes this way; any failure falls back
+    to normal construction."""
     md = iterate.model
     m, n = md.num_rows, md.num_cols
     lb, ub = md.lb, md.ub
@@ -27,7 +32,23 @@ def build_starting_basis(iterate: Iterate, basis: Basis, info: Info) -> None:
     colscale = iterate.scaling_factors()
     colscale = np.where(lb == ub, 0.0, colscale)
 
-    basis.construct_basis_from_weights(colscale, info)
+    loaded = False
+    if preset is not None:
+        loaded = basis.load_basis(preset) == 0
+    if loaded:
+        info.errflag = 0
+        info.dependent_rows = 0
+        info.dependent_cols = 0
+        # a preset basis may hold fixed variables (weight 0) basic or free
+        # variables nonbasic for THIS iterate's bounds; run the standard
+        # pivot fixups so the preconditioner contract holds
+        basis.pivot_free_variables_into_basis(colscale, info)
+        if not info.errflag:
+            basis.pivot_fixed_variables_out_of_basis(colscale, info)
+        if info.errflag:
+            loaded = False
+    if not loaded:
+        basis.construct_basis_from_weights(colscale, info)
     if info.errflag:
         return
 

@@ -78,6 +78,17 @@ class LpSolver:
         self.ipm_start = point
         return 0
 
+    def load_starting_basis(self, basis_array) -> int:
+        """Supplies a starting basis (m solver-model variable indices into
+        AI = [A I]) to install at the phase switch instead of crash
+        construction; silently falls back to normal construction when the
+        supplied basis is singular or inconsistent. Only meaningful with
+        dualize=0 (indices must map 1:1). No reference counterpart — used
+        by the scenario-batch pipeline to amortize one mean-scenario basis
+        across all warm-started finishes."""
+        self._preset_basis = np.asarray(basis_array, dtype=np.int64).copy()
+        return 0
+
     # ------------------------------------------------------------------
     # Checkpoint / resume (ipx_tpu/checkpoint.py; capability added beyond
     # the reference, whose only restart path is the user warm start)
@@ -520,7 +531,9 @@ class LpSolver:
         self.basis = Basis(self.control, self.model)
         self.control.log(" Constructing starting basis...\n")
         try:
-            build_starting_basis(self.iterate, self.basis, info)
+            build_starting_basis(self.iterate, self.basis, info,
+                                 preset=getattr(self, "_preset_basis",
+                                                None))
         except InterruptError:
             info.status_ipm = int(SolveStatus.TIME_LIMIT)
             return

@@ -480,6 +480,9 @@ class BatchedScenarioSolver:
         m, n = self.m, self.n
         d = self.data
         ct = self._ct
+        mean_basis = getattr(self, "_mean_basis", None)
+        if mean_basis is None:
+            mean_basis = self._solve_mean_basis()
         results = []
         for k in range(self.blp.batch):
             import dataclasses as _dc
@@ -509,6 +512,8 @@ class BatchedScenarioSolver:
             if rc != 0:
                 # fall back to a cold solve if the point is rejected
                 s.clear_solution()
+            if mean_basis is not None:
+                s.load_starting_basis(mean_basis)
             status = s.solve()
             # Safety net: a rough batched state (loose phase-1 tolerance)
             # can steer the warm-started IPM into a false infeasibility or
@@ -529,6 +534,34 @@ class BatchedScenarioSolver:
                     status, s = status2, s2
             results.append((status, s.get_info(), s))
         return results
+
+    def _solve_mean_basis(self):
+        """Solves the mean scenario once (crossover off) and returns its
+        basis array for sharing across finishes, or None on any failure.
+        Amortized over the batch this replaces B crash constructions by one
+        solve + B factorizations of a known-good basis."""
+        try:
+            import dataclasses as _dc
+            from ..lp_solver import LpSolver
+            from ..parameters import Parameters
+            p = (_dc.replace(self.parameters) if self.parameters is not None
+                 else Parameters())
+            p.dualize = 0
+            p.crossover = 0
+            p.display = 0
+            s = LpSolver(p)
+            d = self.data
+            rc = s.load_model(self.n, np.mean(self.obj_batch, axis=0),
+                              d["lb"], d["ub"], self.m, d["Ap"], d["Ai"],
+                              d["Ax"], np.mean(self.b_batch, axis=0),
+                              d["constr_type"])
+            if rc != 0 or s.solve() != 1000 or s.basis is None:
+                return None
+            self._mean_basis = np.asarray(s.basis.basis,
+                                          dtype=np.int64).copy()
+            return self._mean_basis
+        except Exception:
+            return None
 
     def _polish(self, out):
         """Shared-basis batched phase-2 polish between phase 1 and the
@@ -557,9 +590,12 @@ class BatchedScenarioSolver:
             basis = s.basis
             if not basis.factorization_is_fresh and basis.factorize() != 0:
                 return out
+            # share the mean-scenario basis with the per-scenario finishes
+            # (amortizes starting-basis construction across the batch)
+            self._mean_basis = np.asarray(basis.basis, dtype=np.int64).copy()
             # bounded effort: the stagnation exit usually fires first; the
             # finishes mop up whatever the shared basis cannot polish
-            polish = SharedBasisBatchedPolish(self.blp, basis, maxiter=12)
+            polish = SharedBasisBatchedPolish(self.blp, basis, maxiter=40)
             state = {k: out[k] for k in ("X", "XL", "XU", "Y", "ZL", "ZU",
                                          "done", "iters")}
             polished = polish.run(state)
