@@ -171,10 +171,10 @@ class KKTSolverBasis(KKTSolver):
             self._sharded2 = None
 
     def _prepare_device(self) -> None:
-        """Device phase-2 CR (NN' + recurrence jitted, B/B' solves via host
-        callback — ops/device_cr2.py) when Parameters.device requests the
-        accelerator. One compiled program serves all factorizes (padded
-        operands)."""
+        """Device phase-2 CR (NN' product jitted on device, host-looped
+        recurrences + B/B' solves, callback-free — ops/device_cr2.py) when
+        Parameters.device requests the accelerator. One compiled program
+        serves all factorizes (padded operands)."""
         params = self.control.parameters
         if params.device != "tpu":
             self._device_cr = None
@@ -249,14 +249,21 @@ class KKTSolverBasis(KKTSolver):
         device_done = False
         if getattr(self, "_device_cr", None) is not None:
             from time import perf_counter
+            deadline = 0.0
+            tl = self.control.parameters.time_limit
+            if tl >= 0:
+                import time as _t
+                remaining = tl - self.control.elapsed()
+                deadline = _t.monotonic() + max(remaining, 0.0)
             t0 = perf_counter()
             try:
-                lhs, iters, errflag = self._device_cr.solve(workp, tol,
-                                                            self.maxiter)
+                lhs, iters, errflag = self._device_cr.solve(
+                    workp, tol, self.maxiter, deadline=deadline,
+                    warm=getattr(self, "_epoch_lhs", None))
                 device_done = True
             except Exception as e:
-                # e.g. backends without host-callback support
-                # (axon_pjrt); fall through to the host engine
+                # e.g. a backend rejecting the jitted SpMV program;
+                # fall through to the host engine
                 self.control.log(
                     f" device phase-2 CR failed ({e}); using host path\n")
                 self._device_cr = None
@@ -266,7 +273,10 @@ class KKTSolverBasis(KKTSolver):
                 info.time_cr2 += perf_counter() - t0
                 info.time_cr2_B += self._device_cr.time_B
                 info.time_cr2_Bt += self._device_cr.time_Bt
+                info.time_cr2_NNt += self._device_cr.time_NNt
                 self._iters += iters
+                if errflag == 0:
+                    self._epoch_lhs = lhs
         if device_done:
             pass
         elif getattr(self, "_sharded2", None) is not None:

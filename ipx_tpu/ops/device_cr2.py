@@ -1,18 +1,21 @@
-"""Phase-2 (basis-preconditioned) CR on device.
+"""Phase-2 (basis-preconditioned) CR with the N~ N~' product on device.
 
 The splitted-normal operator C = I + inv(B~) N~ N~' inv(B~') (reference:
-src/splitted_normal_matrix.cc:90-117) is hybrid-mapped to the accelerator:
+src/splitted_normal_matrix.cc:90-117) is hybrid-mapped to the accelerator
+WITHOUT host callbacks (the real TPU attachment rejects jax.pure_callback,
+docs/DEVICE_r03.md — the round-3 design was unusable on the flagship
+hardware):
 
-  * the N~ N~' product and every CR recurrence/reduction run inside ONE
-    jitted lax.while_loop (scatter-free SpMV formulation, ops/spmv.py);
-  * the B / B' triangular solves — inherently sequential, data-dependent
-    sparsity — call back into the native LU kernel via jax.pure_callback.
+  * the N~ N~' product runs as ONE jitted device program per CR iteration
+    (take + segment_sum SpMV formulation, ops/spmv.py);
+  * the CR recurrences and the B / B' triangular solves — inherently
+    sequential, data-dependent sparsity — run on host, exchanging one
+    m-vector with the device per iteration (explicit transfers, no
+    callbacks).
 
-Shapes are padded to fixed capacities (nnz(N) <= nnz(A) + m, ncols <= n+m)
-so ONE compiled program serves every per-IPM-iteration factorize; weights,
-scaling and the free-position mask are runtime operands. The callbacks close
-over a mutable holder that prepare() repoints at the current basis, keeping
-the compiled program valid across factorizes and solves.
+Shapes are padded to fixed capacities (nnz(N) <= nnz(A) + m; N always has
+exactly n columns) so ONE compiled program serves every per-IPM-iteration
+factorize; only the packed operand values change.
 """
 from __future__ import annotations
 
@@ -29,50 +32,47 @@ def _get_jax():
     return g()
 
 
-class _CapOperand:
-    """SpmvOperand with fixed capacities so recompiles never trigger:
-    segment boundary arrays padded with empty segments, value/index arrays
-    padded with zeros (index 0 gathers a real element; its value weight is
-    0 so it contributes nothing)."""
+class _CapSegOperand:
+    """take+segment_sum operand with fixed capacities: index/value arrays
+    padded with zeros and segment ids padded with num_segments (dropped by
+    the segment reduction)."""
 
-    def __init__(self, cap_nnz: int, cap_seg: int):
-        self.cap_nnz = -(-cap_nnz // LANES) * LANES
-        self.cap_seg = cap_seg
-        self.R = self.cap_nnz // LANES
+    def __init__(self, cap_nnz: int, num_segments: int):
+        self.cap = -(-cap_nnz // LANES) * LANES
+        self.num_segments = num_segments
 
     def pack(self, indptr, indices, data):
-        """Returns (gather_idx (cap,1), vals (cap,), starts, ends) numpy."""
+        """CSR-style pack: returns (idx32 (cap,), vals (cap,), seg (cap,))
+        numpy, where seg[k] is the output segment of nonzero k."""
         nnz = len(data)
-        idx = np.zeros(self.cap_nnz, dtype=np.int64)
+        idx = np.zeros(self.cap, dtype=np.int32)
         idx[:nnz] = indices
-        vals = np.zeros(self.cap_nnz, dtype=np.float64)
+        vals = np.zeros(self.cap, dtype=np.float64)
         vals[:nnz] = data
         nseg = len(indptr) - 1
-        starts = np.full(self.cap_seg, nnz, dtype=np.int64)
-        ends = np.full(self.cap_seg, nnz, dtype=np.int64)
-        starts[:nseg] = indptr[:-1]
-        ends[:nseg] = indptr[1:]
-        return idx.reshape(-1, 1), vals, starts.reshape(-1, 1), \
-            ends.reshape(-1, 1)
+        seg = np.full(self.cap, self.num_segments, dtype=np.int32)
+        seg[:nnz] = np.repeat(np.arange(nseg, dtype=np.int32),
+                              np.diff(indptr).astype(np.int64))
+        return idx, vals, seg
 
 
-def _apply_cap(gather_idx, vals, starts, ends, R, u):
+def _apply_seg(idx, vals, seg, num_segments, u):
+    import jax
     import jax.numpy as jnp
-    from .spmv import flat_cumsum
-    g = jnp.take_along_axis(u.reshape(-1, 1), gather_idx, axis=0)[:, 0]
-    c = flat_cumsum(vals * g, R)
-    cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
-    hi = jnp.take_along_axis(cext.reshape(-1, 1), ends, axis=0)[:, 0]
-    lo = jnp.take_along_axis(cext.reshape(-1, 1), starts, axis=0)[:, 0]
-    return hi - lo
+    g = jnp.take(u, idx, axis=0, mode="fill", fill_value=0.0)
+    out = jax.ops.segment_sum(vals * g, seg, num_segments=num_segments + 1,
+                              indices_are_sorted=True)
+    return out[:num_segments]
 
 
 class DeviceSplittedCR:
-    """Jitted phase-2 CR with host-callback triangular solves.
+    """Host-looped phase-2 CR with the NN' product jitted on device.
 
     One instance per KKT solver; prepare() is called per factorize with the
     current SplittedNormalMatrix (its N, uscale, free positions). solve()
-    runs the whole CR loop as one device program.
+    runs the CR loop on host with one device NN' apply per iteration —
+    callback-free, so it executes on attachments that reject host
+    callbacks.
     """
 
     def __init__(self, model):
@@ -83,25 +83,13 @@ class DeviceSplittedCR:
         self.n = md.num_cols
         m, n = self.m, self.n
         cap_nnz = int(md.A.nnz) + m
-        self._opN = _CapOperand(cap_nnz, m)        # N u   (segments = rows)
-        self._opNt = _CapOperand(cap_nnz, n + m)   # N' w  (segments = cols)
+        self._opN = _CapSegOperand(cap_nnz, m)     # N u   (segments = rows)
+        self._opNt = _CapSegOperand(cap_nnz, n)    # N' w  (segments = cols)
         self._basis = None                         # repointed by prepare()
         self._fn = None
         self.time_B = 0.0
         self.time_Bt = 0.0
-
-    # -- host callbacks (close over self; identity stable across solves) --
-    def _btran_cb(self, v):
-        t0 = perf_counter()
-        out = self._basis.solve_dense(np.asarray(v, dtype=np.float64), "T")
-        self.time_Bt += perf_counter() - t0
-        return out
-
-    def _ftran_cb(self, v):
-        t0 = perf_counter()
-        out = self._basis.solve_dense(np.asarray(v, dtype=np.float64), "N")
-        self.time_B += perf_counter() - t0
-        return out
+        self.time_NNt = 0.0
 
     def prepare(self, splitted) -> None:
         """Refreshes the device operands from a prepared
@@ -110,85 +98,103 @@ class DeviceSplittedCR:
         N_csr = N.tocsr()
         self._basis = splitted._basis
         jnp = self.jax.numpy
-        # N' w: segments = columns (CSC arrays); N u: segments = rows (CSR)
-        gi, va, st, en = self._opNt.pack(N.indptr, N.indices, N.data)
-        self._nt_args = tuple(map(jnp.asarray, (gi, va, st, en)))
-        gi, va, st, en = self._opN.pack(N_csr.indptr, N_csr.indices,
-                                        N_csr.data)
-        self._n_args = tuple(map(jnp.asarray, (gi, va, st, en)))
-        self._uscale = jnp.asarray(splitted.uscale)
-        freemask = np.zeros(self.m, dtype=bool)
-        freemask[splitted.free_positions] = True
-        self._freemask = jnp.asarray(freemask)
+        # N' w: one value per nnz, segment = column (CSC order is
+        # column-sorted); N u: segment = row (CSR order)
+        i, v, s = self._opNt.pack(N.indptr, N.indices, N.data)
+        self._nt_args = tuple(map(jnp.asarray, (i, v, s)))
+        i, v, s = self._opN.pack(N_csr.indptr, N_csr.indices, N_csr.data)
+        self._n_args = tuple(map(jnp.asarray, (i, v, s)))
+        self._uscale = np.asarray(splitted.uscale)
+        self._freepos = np.asarray(splitted.free_positions)
+        if self._fn is None:
+            self._build()
 
     def _build(self):
         jax = self.jax
-        jnp = jax.numpy
-        m = self.m
-        sds = jax.ShapeDtypeStruct((m,), jnp.float64)
         opN, opNt = self._opN, self._opNt
 
-        def apply_C(nt_args, n_args, uscale, freemask, v):
-            w = jax.pure_callback(self._btran_cb, sds, v / uscale)
-            u = _apply_cap(*nt_args, opNt.R, w)        # N' w  (n+m capacity)
-            z = _apply_cap(*n_args, opN.R, u)          # N u   (m,)
-            y = jax.pure_callback(self._ftran_cb, sds, z)
-            out = y / uscale + v
-            out = jnp.where(freemask, 0.0, out)
-            return out, jnp.dot(v, out)
+        def nnt(nt_args, n_args, w):
+            u = _apply_seg(*nt_args, opNt.num_segments, w)   # N' w
+            return _apply_seg(*n_args, opN.num_segments, u)  # N (N' w)
 
-        def cr(nt_args, n_args, uscale, freemask, rhs, tol, maxiter):
-            def C(v):
-                return apply_C(nt_args, n_args, uscale, freemask, v)
+        self._fn = jax.jit(nnt)
 
-            lhs0 = jnp.zeros_like(rhs)
-            r0 = rhs
-            Cr0, cdot0 = C(r0)
-            # state: lhs, r, step, Cstep, cdot, it, err
-            state0 = (lhs0, r0, r0, Cr0, cdot0, jnp.int64(0), jnp.int64(0))
-
-            def cond(s):
-                lhs, r, d, cd, cdot, it, err = s
-                resnorm = jnp.max(jnp.abs(r))
-                return (resnorm > tol) & (it < maxiter) & (err == 0)
-
-            def body(s):
-                lhs, r, d, cd, cdot, it, err = s
-                denom = jnp.dot(cd, cd)
-                bad = (cdot <= 0.0) | (denom <= 0.0)
-                alpha = jnp.where(bad, 0.0, cdot / denom)
-                err = jnp.where(bad, jnp.int64(202), err)
-                err = jnp.where(jnp.isfinite(alpha), err, jnp.int64(205))
-                lhs = lhs + alpha * d
-                r = r - alpha * cd
-                Cr, cdot_new = C(r)
-                beta = jnp.where(bad, 0.0, cdot_new / cdot)
-                d = r + beta * d
-                cd = Cr + beta * cd
-                return (lhs, r, d, cd, cdot_new, it + 1, err)
-
-            out = jax.lax.while_loop(cond, body, state0)
-            lhs, r, *_, it, err = out
-            resnorm = jnp.max(jnp.abs(r))
-            err = jnp.where((err == 0) & (resnorm > tol), jnp.int64(201),
-                            err)
-            return lhs, it, err
-
-        self._fn = jax.jit(cr)
-
-    def solve(self, rhs: np.ndarray, tol: float, maxiter: int):
-        """Returns (lhs, iters, errflag); contract of the native cr_basis
-        (inf-norm termination, 201 iter limit, 202 not posdef, 205 nan)."""
+    # -- one operator application: host B solves + device NNt -------------
+    def _apply(self, v):
         jax = self.jax
-        jnp = jax.numpy
-        if self._fn is None:
-            self._build()
+        s = self._uscale
+        t0 = perf_counter()
+        w = self._basis.solve_dense(v / s, "T")
+        self.time_Bt += perf_counter() - t0
+        t0 = perf_counter()
+        z = self._fn(self._nt_args, self._n_args,
+                     self.jax.numpy.asarray(w))
+        z = np.asarray(z)
+        self.time_NNt += perf_counter() - t0
+        t0 = perf_counter()
+        y = self._basis.solve_dense(z, "N")
+        self.time_B += perf_counter() - t0
+        out = y / s + v
+        if self._freepos.size:
+            out[self._freepos] = 0.0
+        return out
+
+    def solve(self, rhs: np.ndarray, tol: float, maxiter: int,
+              deadline: float = 0.0, warm: np.ndarray = None):
+        """Returns (lhs, iters, errflag); contract of the native cr_basis
+        (inf-norm termination, 201 iter limit, 202 not posdef, 205 nan,
+        999 past `deadline` in time.monotonic() seconds). `warm` optionally
+        starts from a slot-space solution of the SAME prepared operator,
+        kept only when its residual beats the zero start."""
+        from time import monotonic
+        m = self.m
         if maxiter < 0:
-            maxiter = self.m + 100
-        self.time_B = self.time_Bt = 0.0
-        lhs, it, err = self._fn(self._nt_args, self._n_args, self._uscale,
-                                self._freemask,
-                                jnp.asarray(rhs, dtype=jnp.float64),
-                                jnp.float64(tol), jnp.int64(maxiter))
-        jax.block_until_ready(lhs)
-        return np.asarray(lhs), int(it), int(err)
+            maxiter = m + 100
+        self.time_B = self.time_Bt = self.time_NNt = 0.0
+        rhs = np.asarray(rhs, dtype=np.float64)
+        lhs = np.zeros(m)
+        r = rhs.copy()
+        if warm is not None and np.all(np.isfinite(warm)):
+            Cw = self._apply(np.asarray(warm, dtype=np.float64))
+            rw = rhs - Cw
+            if np.max(np.abs(rw)) < np.max(np.abs(rhs)):
+                lhs = np.asarray(warm, dtype=np.float64).copy()
+                r = rw
+        Cr = self._apply(r)
+        cdot = float(r @ Cr)
+        d = r.copy()
+        cd = Cr.copy()
+        denom = float(Cr @ Cr)
+        it = 0
+        err = 0
+        while True:
+            resnorm = float(np.max(np.abs(r))) if m else 0.0
+            if np.isfinite(resnorm) and resnorm <= tol:
+                break
+            if it >= maxiter:
+                err = 201
+                break
+            if deadline > 0.0 and it % 5 == 0 and monotonic() > deadline:
+                err = 999
+                break
+            if not np.isfinite(resnorm):
+                err = 205
+                break
+            if cdot <= 0.0:
+                err = 202
+                break
+            alpha = cdot / denom
+            if not np.isfinite(alpha):
+                err = 205
+                break
+            lhs += alpha * d
+            r -= alpha * cd
+            Cr = self._apply(r)
+            cdot_new = float(r @ Cr)
+            beta = cdot_new / cdot
+            d = r + beta * d
+            cd = Cr + beta * cd
+            denom = float(cd @ cd)
+            cdot = cdot_new
+            it += 1
+        return lhs, it, err

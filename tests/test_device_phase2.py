@@ -1,7 +1,7 @@
 """Device phase-2 CR (ops/device_cr2.py): the basis-preconditioned KKT
-solves route through the jitted splitted-operator CR (NN' + recurrences on
-the jax backend, B/B' solves via host callback) and reproduce the host
-path's results (VERDICT r2 item 2)."""
+solves route through the device splitted-operator CR (NN' product jitted
+on the jax backend; host-looped recurrences and B/B' solves, callback-free
+per VERDICT r3 item 5) and reproduce the host path's results."""
 import numpy as np
 import pytest
 
@@ -15,8 +15,8 @@ def test_device_phase2_matches_host(family, monkeypatch):
     calls = []
     orig = device_cr2.DeviceSplittedCR.solve
 
-    def counted(self, rhs, tol, maxiter):
-        out = orig(self, rhs, tol, maxiter)
+    def counted(self, rhs, tol, maxiter, **kw):
+        out = orig(self, rhs, tol, maxiter, **kw)
         calls.append(out[1])
         return out
 
