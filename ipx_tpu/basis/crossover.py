@@ -158,6 +158,7 @@ class Crossover:
         basic = basis.basic_mask()
         sel = basic[perm] & (z[perm] != 0.0)
         dual_superbasics = perm[sel]
+        info.pushes_dual = int(dual_superbasics.size)
         self.control.log(
             tl("Number of dual pushes required:")
             + f"{dual_superbasics.size}\n")
@@ -171,6 +172,7 @@ class Crossover:
         sel = (nonbasic[rp] & (x[rp] != lb[rp]) & (x[rp] != ub[rp])
                & ~(np.isinf(lb[rp]) & np.isinf(ub[rp]) & (x[rp] == 0.0)))
         primal_superbasics = rp[sel]
+        info.pushes_primal = int(primal_superbasics.size)
         self.control.log(
             tl("Number of primal pushes required:")
             + f"{primal_superbasics.size}\n")

@@ -66,6 +66,10 @@ class Info:
     updates_start: int = 0
     updates_ipm: int = 0
     updates_crossover: int = 0
+    # crossover push volume (printed but not stored by the reference;
+    # stored here for the logfile-parity anchors, tools/ref_parity.py)
+    pushes_dual: int = 0
+    pushes_primal: int = 0
 
     # major computation times
     time_total: float = 0.0
