@@ -199,22 +199,43 @@ def load_into_solver(data, solver):
                              data["constr_type"])
 
 
-def assignment(N: int, seed: int = 0):
+def assignment(N: int, seed: int = 0, degree: int = 0):
     """Assignment-problem LP relaxation: massively degenerate (every basic
     solution is; the family behind the reference's nug results,
     reference: benchmark/results/nug.tbl). N^2 variables, 2N equality
-    constraints, integral optimum equal to the matching cost."""
+    constraints, integral optimum equal to the matching cost.
+
+    degree > 0 sparsifies: each worker is eligible for `degree` random
+    jobs (plus a perfect-matching diagonal so the instance stays
+    feasible) — N*(degree+1) variables, letting the row count scale to
+    nug-class sizes (nug30: 52k rows) without an N^2 variable blow-up."""
     rng = np.random.default_rng(seed)
-    n = N * N
     Ap = [0]
     Ai: list = []
     Ax: list = []
-    for i in range(N):
-        for j in range(N):
+    if degree <= 0:
+        n = N * N
+        obj = rng.uniform(0, 10, n)
+        for i in range(N):
+            for j in range(N):
+                Ai.extend([i, N + j])
+                Ax.extend([1.0, 1.0])
+                Ap.append(len(Ai))
+    else:
+        cols = []
+        perm = rng.permutation(N)      # feasibility: a perfect matching
+        for i in range(N):
+            jobs = set(rng.integers(0, N, size=degree).tolist())
+            jobs.add(int(perm[i]))
+            for j in sorted(jobs):
+                cols.append((i, j))
+        n = len(cols)
+        obj = rng.uniform(0, 10, n)
+        for (i, j) in cols:
             Ai.extend([i, N + j])
             Ax.extend([1.0, 1.0])
             Ap.append(len(Ai))
-    return dict(num_var=n, obj=rng.uniform(0, 10, n), lb=np.zeros(n),
+    return dict(num_var=n, obj=obj, lb=np.zeros(n),
                 ub=np.full(n, INF), num_constr=2 * N,
                 Ap=np.array(Ap, dtype=np.int64),
                 Ai=np.array(Ai, dtype=np.int64),
