@@ -18,7 +18,17 @@ import os as _os
 # kernels). Bind threads to distinct places unless the user set a policy.
 # (The native library also sets this in a dlopen constructor; doing it here
 # too covers the case where another extension initialized libgomp first.)
-_os.environ.setdefault("OMP_PROC_BIND", "spread")
+#
+# Multi-process caveat (ADVICE r3): the setdefault is process-wide and
+# affects every OpenMP runtime loaded into this process (numpy/MKL/...).
+# When several solver processes share one machine (e.g. a multi-process
+# batch driver), each spreads over the SAME places and can recreate the
+# timesharing contention this targets — export distinct OMP_PLACES per
+# worker in that configuration, or set OMP_PROC_BIND explicitly to
+# override this default. Skipped when the user already pinned placement.
+if not (_os.environ.get("OMP_PLACES") or _os.environ.get(
+        "GOMP_CPU_AFFINITY")):
+    _os.environ.setdefault("OMP_PROC_BIND", "spread")
 
 
 def _tune_malloc() -> None:

@@ -1166,7 +1166,10 @@ static ipxint ft_update(IpxLu& lu, double pivot) {
             rw[j] -= a * u;
         }
     }
-    if (d == 0.0 || !std::isfinite(d) || !std::isfinite(1.0 / d)) {
+    const double d_new = pivot * d_old;
+    if (d == 0.0 || !std::isfinite(d) || !std::isfinite(1.0 / d)
+        || d_new == 0.0 || !std::isfinite(d_new)
+        || !std::isfinite(1.0 / d_new)) {
         // leave U without row/col p content; caller must refactorize
         lu.have_ftran = false;
         lu.btran_pos = -1;
@@ -1192,7 +1195,11 @@ static ipxint ft_update(IpxLu& lu, double pivot) {
             lu.ftR_cg[k].push_back(gen);
             lu.ftU_nnz++;
         }
-        lu.ftU_diag[p] = d;
+        // insert the determinant-identity diagonal pivot*d_old (the
+        // reference's numerically preferred choice, reference:
+        // src/forrest_tomlin.cc:158-166) and keep the eliminated value d
+        // for the stability monitor below (ADVICE r3)
+        lu.ftU_diag[p] = pivot * d_old;
         lu.ftU_nnz++;
     }
 
@@ -1344,11 +1351,114 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
 }
 
 // Sparse BTRAN of a unit vector e_pos (basis position). Returns nz or -1.
+// Hypersparse BTRAN of a unit vector under Forrest-Tomlin (beyond the
+// reference, whose generic FT is dense-only, src/forrest_tomlin.h:14-26):
+// reach over the dynamic U row files -> gather U' solve in logical order
+// -> reverse row etas with pattern growth -> sparse L' solve. Returns nz,
+// or -2 when the pattern exceeds m/8 (caller falls back to the dense
+// path). x is only written at returned pattern positions (assume_zero
+// semantics of the caller apply).
+static ipxint ft_btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
+                                   ipxint* out_pat, bool assume_zero) {
+    const ipxint m = lu.m;
+    const ipxint CAP = m / 8;
+    const ipxint k0 = lu.colperm_inv[pos];
+    lu.flagstamp++;
+    const ipxint st = lu.flagstamp;
+    ipxint* stck = lu.stack.data();
+    ipxint* pat = lu.spat2.data();
+    double* w = lu.work.data();      // all-zero scratch (restored below)
+    ipxint ns = 0;
+    ipxint top = 0;
+    stck[top++] = k0;
+    lu.flag[k0] = st;
+    bool bail = false;
+    while (top) {
+        ipxint r = stck[--top];
+        pat[ns++] = r;
+        if (ns > CAP) { bail = true; break; }
+        const auto& ci = lu.ftR_ci[r];
+        const auto& pp = lu.ftR_pp[r];
+        const auto& cg = lu.ftR_cg[r];
+        for (size_t t = 0; t < ci.size(); t++) {
+            int32_t j = ci[t];
+            if (lu.ft_colgen[j] != cg[t]) continue;
+            if (lu.ftU_ri[j][pp[t]] != (int32_t)r) continue;
+            if (lu.flag[j] != st) {
+                lu.flag[j] = st;
+                stck[top++] = j;
+            }
+        }
+    }
+    if (!bail) {
+        std::sort(pat, pat + ns, [&](ipxint a, ipxint b) {
+            return lu.ft_opos[a] < lu.ft_opos[b];
+        });
+        w[k0] = 1.0;
+        for (ipxint t = 0; t < ns; t++) {
+            ipxint k = pat[t];
+            double acc = w[k];
+            const auto& ri = lu.ftU_ri[k];
+            const auto& rv = lu.ftU_rv[k];
+            for (size_t q = 0; q < ri.size(); q++) {
+                int32_t r = ri[q];
+                if (r >= 0) acc -= rv[q] * w[r];
+            }
+            w[k] = acc / lu.ftU_diag[k];
+        }
+        // reverse row etas; each can grow the pattern by its pos list
+        const double t_eta0 = now_monotonic_s();
+        for (auto it = lu.ft_etas.rbegin(); it != lu.ft_etas.rend();
+             ++it) {
+            const FtEta& e = *it;
+            if (lu.flag[e.target] != st) continue;
+            const double wt = w[e.target];
+            if (wt == 0.0) continue;
+            for (size_t j = 0; j < e.pos.size(); j++) {
+                ipxint pj = e.pos[j];
+                if (lu.flag[pj] != st) {
+                    lu.flag[pj] = st;
+                    pat[ns++] = pj;
+                }
+                w[pj] -= e.alpha[j] * wt;
+            }
+            if (ns > CAP) { bail = true; break; }
+        }
+        if (!lu.ft_etas.empty())
+            lu.t_eta += now_monotonic_s() - t_eta0;
+    }
+    if (bail) {
+        for (ipxint t = 0; t < ns; t++) w[pat[t]] = 0.0;
+        return -2;
+    }
+    // sparse L' solve (bumps flagstamp internally; our flags are done)
+    ipxint* pat3 = lu.spat3.data();
+    ipxint n3 = sparse_solve(lu.Lt, nullptr, lu, ns, pat, w, pat3);
+    if (!assume_zero)
+        std::fill(x, x + m, 0.0);
+    ipxint nz = 0;
+    for (ipxint t = 0; t < n3; t++) {
+        ipxint k = pat3[t];
+        double v = w[k];
+        w[k] = 0.0;
+        if (v != 0.0) {
+            ipxint i = lu.rowperm[k];
+            x[i] = v;
+            out_pat[nz++] = i;
+        }
+    }
+    return nz;
+}
+
 static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
                                 ipxint* out_pat, bool assume_zero = false) {
     const ipxint m = lu.m;
     if (lu.update_mode == 1 && lu.ft_valid) {
-        // no hypersparsity in Forrest-Tomlin mode
+        ipxint nz = ft_btran_sparse_unit(lu, pos, x, out_pat, assume_zero);
+        if (nz >= 0)
+            return nz;
+        // pattern too dense: dense path (parity with the reference's
+        // generic FT)
         std::vector<double> bd(m, 0.0);
         bd[pos] = 1.0;
         ft_btran_dense(lu, bd.data(), x);
@@ -1479,13 +1589,19 @@ static ipxint update_impl(IpxLu& lu, double pivot) {
 static ipxint need_fresh_impl(IpxLu& lu) {
     if (lu.update_mode == 1) {
         // Forrest-Tomlin refresh rules (reference:
-        // src/forrest_tomlin.cc:214-238): bounded update count, row-eta
-        // file larger than L, U grown past 1.7x its fresh size — plus the
-        // measured eta-time competitiveness rule shared with PFI.
+        // src/forrest_tomlin.cc:214-238): bounded update count, then —
+        // only after a 100-update floor — row-eta file larger than L
+        // (incl. diagonal), U grown past 1.7x its fresh size, plus the
+        // measured eta-time competitiveness rule shared with PFI. The
+        // floor is load-bearing: network bases have a near-empty L, so
+        // without it the Rnz>Lnz rule fires after a handful of updates
+        // and refactorization storms (measured 17x blowup on grid,
+        // docs/LU_UPDATE.tbl r3).
         if (!lu.ft_valid) return 1;
-        if ((ipxint)lu.ft_etas.size() >= std::min<ipxint>(5000, lu.m))
-            return 1;
-        if (lu.ftR_nnz > (ipxint)lu.L.idx.size()) return 1;
+        const ipxint nup = (ipxint)lu.ft_etas.size();
+        if (nup >= std::min<ipxint>(5000, lu.m)) return 1;
+        if (nup < 100) return 0;
+        if (lu.ftR_nnz > (ipxint)lu.L.idx.size() + lu.m) return 1;
         if ((double)lu.ftU_nnz > 1.7 * (double)lu.ftU_nnz0) return 1;
         if (lu.t_eta > std::max(lu.t_last_factorize, 1e-6)) return 1;
         return 0;

@@ -16,6 +16,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+HEADER = """# PFI (lu_kernel=0) vs Forrest-Tomlin (lu_kernel=1)
+# regenerate: python tools/lu_update_compare.py
+#
+# Reading (round 4): both kernels solve every instance to the same
+# objective (asserted by the generator) and are now within ~1.4x of each
+# other on every family. Round 3's FT pathology on network bases
+# (grid 56.2 s vs PFI 3.4 s, t_inv 36 s) had two causes, both fixed:
+# the refresh rules lacked the reference's 100-update floor
+# (reference: src/forrest_tomlin.cc:222-224), so Rnz>Lnz stormed on the
+# near-empty L of network bases; and every unit-rhs BTRAN (tableau rows
+# in crossover/maxvolume/drops) ran dense — FT now has a hypersparse
+# unit BTRAN (reach over the dynamic U row files + sparse L' solve),
+# going beyond the reference's dense-only generic FT
+# (reference: src/forrest_tomlin.h:14-26). PFI remains the default.
+"""
+
 
 def instances(quick):
     import ipx_tpu.testgen as tg
@@ -75,8 +91,7 @@ def main():
         assert rel < 1e-6, (name, rel)
     out = os.path.join(REPO, "docs", "LU_UPDATE.tbl")
     with open(out, "w") as f:
-        f.write("# PFI (lu_kernel=0) vs Forrest-Tomlin (lu_kernel=1)\n")
-        f.write("# regenerate: python tools/lu_update_compare.py\n")
+        f.write(HEADER)
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
 
