@@ -119,6 +119,8 @@ struct IpxLu {
     std::vector<std::vector<int32_t>> ftR_ci, ftR_pp, ftR_cg;
     std::vector<FtEta> ft_etas;
     std::vector<double> ft_spike;    // FTRAN intermediate before the U
+    bool ft_spike_dense = true;      // spike array written densely last
+    std::vector<ipxint> ft_spike_pat;  // else its nonzero positions
                                      // solve (= L'^{-1} a), position space
     std::vector<double> ft_rwork;    // row-elimination accumulator (zeroed)
     ipxint ftU_nnz0 = 0, ftU_nnz = 0, ftR_nnz = 0;
@@ -1035,6 +1037,7 @@ static void ft_ftran_dense(IpxLu& lu, const double* b, double* x) {
         lu.t_eta += now_monotonic_s() - t0;
     }
     std::memcpy(lu.ft_spike.data(), w, m * sizeof(double));
+    lu.ft_spike_dense = true;
     for (ipxint t = m - 1; t >= 0; t--) {
         ipxint k = lu.ft_order[t];
         double xk = w[k] / lu.ftU_diag[k];
@@ -1292,12 +1295,146 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
 
 // Sparse FTRAN with pattern tracking. Returns nz (pattern in out_pat, values
 // dense in x) or -1 if the result should be treated dense.
+// Hypersparse FTRAN under Forrest-Tomlin (beyond the reference's
+// dense-only generic FT): sparse L solve, forward row etas with pattern
+// membership, sparse spike snapshot, then a U solve over the reach of the
+// dynamic U column files in descending logical order. Returns nz or -2
+// when the pattern exceeds m/8 (caller falls back to the dense path).
+static ipxint ft_ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
+                              const double* bx, double* x,
+                              ipxint* out_pat) {
+    const ipxint m = lu.m;
+    const ipxint CAP = m / 8;
+    double* w = lu.work.data();
+    ipxint* pat0 = lu.pattern.data();
+    ipxint npat = 0;
+    for (ipxint t = 0; t < nb; t++) {
+        ipxint k = lu.rowperm_inv[bi[t]];
+        w[k] = bx[t];
+        pat0[npat++] = k;
+    }
+    ipxint* pat2 = lu.spat2.data();
+    ipxint n2 = sparse_solve(lu.L, nullptr, lu, npat, pat0, w, pat2);
+    if (n2 > CAP) {
+        for (ipxint t = 0; t < n2; t++) w[pat2[t]] = 0.0;
+        return -2;
+    }
+    // forward row etas; membership via a fresh stamp on the eta pattern
+    lu.flagstamp++;
+    const ipxint st = lu.flagstamp;
+    ipxint* pat = pat0;              // eta-phase (growing) pattern
+    npat = n2;
+    for (ipxint t = 0; t < n2; t++) {
+        pat[t] = pat2[t];
+        lu.flag[pat2[t]] = st;
+    }
+    bool bail = false;
+    if (!lu.ft_etas.empty()) {
+        const double t0 = now_monotonic_s();
+        for (const FtEta& e : lu.ft_etas) {
+            double acc = 0.0;
+            for (size_t j = 0; j < e.pos.size(); j++) {
+                ipxint pj = e.pos[j];
+                if (lu.flag[pj] == st && w[pj] != 0.0)
+                    acc += e.alpha[j] * w[pj];
+            }
+            if (acc != 0.0) {
+                w[e.target] -= acc;
+                if (lu.flag[e.target] != st) {
+                    lu.flag[e.target] = st;
+                    pat[npat++] = e.target;
+                    if (npat > CAP) { bail = true; break; }
+                }
+            }
+        }
+        lu.t_eta += now_monotonic_s() - t0;
+    }
+    if (!bail) {
+        // sparse spike snapshot (read by a following ft_update)
+        if (lu.ft_spike_dense) {
+            std::fill(lu.ft_spike.begin(), lu.ft_spike.end(), 0.0);
+            lu.ft_spike_dense = false;
+        } else {
+            for (ipxint k : lu.ft_spike_pat) lu.ft_spike[k] = 0.0;
+        }
+        lu.ft_spike_pat.assign(pat, pat + npat);
+        for (ipxint t = 0; t < npat; t++)
+            lu.ft_spike[pat[t]] = w[pat[t]];
+        // U-solve reach over the dynamic column files
+        lu.flagstamp++;
+        const ipxint st2 = lu.flagstamp;
+        ipxint* stck = lu.stack.data();
+        ipxint* upat = lu.spat3.data();
+        ipxint nu = 0;
+        ipxint top = 0;
+        for (ipxint t = 0; t < npat; t++) {
+            if (lu.flag[pat[t]] != st2) {
+                lu.flag[pat[t]] = st2;
+                stck[top++] = pat[t];
+            }
+        }
+        while (top) {
+            ipxint k = stck[--top];
+            upat[nu++] = k;
+            if (nu > CAP) { bail = true; break; }
+            const auto& ri = lu.ftU_ri[k];
+            for (size_t q = 0; q < ri.size(); q++) {
+                int32_t r = ri[q];
+                if (r >= 0 && lu.flag[r] != st2) {
+                    lu.flag[r] = st2;
+                    stck[top++] = r;
+                }
+            }
+        }
+        if (!bail) {
+            std::sort(upat, upat + nu, [&](ipxint a, ipxint b) {
+                return lu.ft_opos[a] > lu.ft_opos[b];
+            });
+            for (ipxint t = 0; t < nu; t++) {
+                ipxint k = upat[t];
+                double xk = w[k] / lu.ftU_diag[k];
+                w[k] = xk;
+                if (xk != 0.0) {
+                    const auto& ri = lu.ftU_ri[k];
+                    const auto& rv = lu.ftU_rv[k];
+                    for (size_t q = 0; q < ri.size(); q++) {
+                        int32_t r = ri[q];
+                        if (r >= 0) w[r] -= rv[q] * xk;
+                    }
+                }
+            }
+            std::fill(x, x + m, 0.0);
+            ipxint nz = 0;
+            for (ipxint t = 0; t < nu; t++) {
+                ipxint k = upat[t];
+                double v = w[k];
+                w[k] = 0.0;
+                if (v != 0.0) {
+                    ipxint j = lu.colperm[k];
+                    x[j] = v;
+                    out_pat[nz++] = j;
+                }
+            }
+            return nz;
+        }
+        // bail after U-reach started: zero everything touched
+        for (ipxint t = 0; t < nu; t++) w[upat[t]] = 0.0;
+    }
+    for (ipxint t = 0; t < npat; t++) w[pat[t]] = 0.0;
+    return -2;
+}
+
 static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
                            const double* bx, double* x, ipxint* out_pat) {
     const ipxint m = lu.m;
     if (lu.update_mode == 1 && lu.ft_valid) {
-        // Forrest-Tomlin mode has no hypersparse solves (parity with the
-        // reference's generic FT, src/forrest_tomlin.h:14-26)
+        if (nb <= m / 8) {
+            ipxint nz = ft_ftran_sparse(lu, nb, bi, bx, x, out_pat);
+            if (nz >= 0)
+                return nz;
+        }
+        // dense fallback (parity with the reference's generic FT,
+        // src/forrest_tomlin.h:14-26)
         std::fill(x, x + m, 0.0);
         std::vector<double> bd(m, 0.0);
         for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
