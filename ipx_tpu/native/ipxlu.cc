@@ -34,6 +34,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <queue>
 #include <vector>
 
 #ifdef _OPENMP
@@ -121,6 +122,13 @@ struct IpxLu {
     std::vector<double> ft_spike;    // FTRAN intermediate before the U
     bool ft_spike_dense = true;      // spike array written densely last
     std::vector<ipxint> ft_spike_pat;  // else its nonzero positions
+    // PFI eta reader index: for each position p, the etas whose transposed
+    // application READS p (p in idx(e) or p == pos(e)); lets the sparse
+    // BTRAN touch only etas intersecting its pattern instead of scanning
+    // the whole chain per solve. Rebuilt empty at factorize.
+    std::vector<std::vector<int32_t>> eta_rd;
+    std::vector<ipxint> eta_stamp;   // per-eta dedupe stamps
+    ipxint eta_stampval = 0;
                                      // solve (= L'^{-1} a), position space
     std::vector<double> ft_rwork;    // row-elimination accumulator (zeroed)
     ipxint ftU_nnz0 = 0, ftU_nnz = 0, ftR_nnz = 0;
@@ -306,6 +314,8 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     const double abstol = strict_abs ? 1e-3 : 1e-14;  // kLuDependencyTol
     lu.ft_valid = false;      // rebuilt at the end when update_mode == 1
     lu.etas.clear();
+    reset_nested(lu.eta_rd, m);
+    lu.eta_stamp.clear();
     lu.eta_nnz = 0;
     lu.t_eta = 0.0;
     lu.have_ftran = false;
@@ -1613,15 +1623,52 @@ static ipxint btran_sparse_unit(IpxLu& lu, ipxint pos, double* x,
     lu.flag[pos] = bst;
     spat[ns++] = pos;
     const double t_eta0 = now_monotonic_s();
-    for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
-        const Eta& e = *it;
-        double acc = s[e.pos];
-        for (size_t t = 0; t < e.idx.size(); t++)
-            acc -= e.val[t] * s[e.idx[t]];
-        s[e.pos] = acc / e.diag;
-        if (lu.flag[e.pos] != bst) {
-            lu.flag[e.pos] = bst;
-            spat[ns++] = e.pos;
+    if (lu.etas.size() >= 48) {
+        // Indexed eta application: only etas whose transposed application
+        // reads a pattern position can act (an untouched eta computes
+        // acc = 0 and is an exact no-op). Candidates are processed in
+        // reverse creation order via a max-heap; positions that become
+        // nonzero when an eta fires discover further candidates, but only
+        // OLDER ones (a newer eta reading such a position saw zero at its
+        // own application time, so skipping it is exact).
+        lu.eta_stampval++;
+        const ipxint est = lu.eta_stampval;
+        std::priority_queue<int32_t> heap;
+        auto push_readers = [&](ipxint p, int32_t below) {
+            for (int32_t en : lu.eta_rd[p]) {
+                if (en < below && lu.eta_stamp[en] != est) {
+                    lu.eta_stamp[en] = est;
+                    heap.push(en);
+                }
+            }
+        };
+        push_readers(pos, (int32_t)lu.etas.size());
+        while (!heap.empty()) {
+            int32_t en = heap.top();
+            heap.pop();
+            const Eta& e = lu.etas[en];
+            double acc = s[e.pos];
+            for (size_t t = 0; t < e.idx.size(); t++)
+                acc -= e.val[t] * s[e.idx[t]];
+            acc /= e.diag;
+            s[e.pos] = acc;
+            if (acc != 0.0 && lu.flag[e.pos] != bst) {
+                lu.flag[e.pos] = bst;
+                spat[ns++] = e.pos;
+                push_readers(e.pos, en);
+            }
+        }
+    } else {
+        for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
+            const Eta& e = *it;
+            double acc = s[e.pos];
+            for (size_t t = 0; t < e.idx.size(); t++)
+                acc -= e.val[t] * s[e.idx[t]];
+            s[e.pos] = acc / e.diag;
+            if (lu.flag[e.pos] != bst) {
+                lu.flag[e.pos] = bst;
+                spat[ns++] = e.pos;
+            }
         }
     }
     if (!lu.etas.empty()) lu.t_eta += now_monotonic_s() - t_eta0;
@@ -1715,6 +1762,13 @@ static ipxint update_impl(IpxLu& lu, double pivot) {
             }
     }
     lu.eta_nnz += (ipxint)e.idx.size() + 1;
+    {
+        // register the reader index of the new eta (BTRAN reads idx + pos)
+        const int32_t eno = (int32_t)lu.etas.size();
+        for (ipxint j : e.idx) lu.eta_rd[j].push_back(eno);
+        lu.eta_rd[e.pos].push_back(eno);
+        lu.eta_stamp.push_back(0);
+    }
     lu.etas.push_back(std::move(e));
     lu.have_ftran = false;
     lu.btran_pos = -1;
