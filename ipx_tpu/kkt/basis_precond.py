@@ -257,9 +257,12 @@ class KKTSolverBasis(KKTSolver):
                 deadline = _t.monotonic() + max(remaining, 0.0)
             t0 = perf_counter()
             try:
+                warm = (getattr(self, "_epoch_lhs", None)
+                        if getattr(self, "_last_solve_iters", 0) >= 12
+                        else None)
                 lhs, iters, errflag = self._device_cr.solve(
                     workp, tol, self.maxiter, deadline=deadline,
-                    warm=getattr(self, "_epoch_lhs", None))
+                    warm=warm)
                 device_done = True
             except Exception as e:
                 # e.g. a backend rejecting the jitted SpMV program;
@@ -275,6 +278,7 @@ class KKTSolverBasis(KKTSolver):
                 info.time_cr2_Bt += self._device_cr.time_Bt
                 info.time_cr2_NNt += self._device_cr.time_NNt
                 self._iters += iters
+                self._last_solve_iters = iters
                 if errflag == 0:
                     self._epoch_lhs = lhs
         if device_done:
@@ -301,14 +305,20 @@ class KKTSolverBasis(KKTSolver):
                 import time as _t
                 remaining = tl - self.control.elapsed()
                 deadline = _t.monotonic() + max(remaining, 0.0)
+            # the warm start costs one extra operator application, so it
+            # only pays when solves run long enough to amortize it (grid-
+            # class instances at 40-200 CR iters/solve; not transportation
+            # at 5-8)
+            warm = (getattr(self, "_epoch_lhs", None)
+                    if getattr(self, "_last_solve_iters", 0) >= 12 else None)
             t0 = perf_counter()
             lhs, iters, errflag = self.splitted.native_cr(
-                workp, tol, self.maxiter, deadline,
-                warm=getattr(self, "_epoch_lhs", None))
+                workp, tol, self.maxiter, deadline, warm=warm)
             info.errflag = errflag
             info.kktiter2 += iters
             info.time_cr2 += perf_counter() - t0
             self._iters += iters
+            self._last_solve_iters = iters
             if errflag == 0:
                 self._epoch_lhs = lhs
         else:
