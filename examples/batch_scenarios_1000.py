@@ -14,13 +14,12 @@ solve for a sample of scenarios. Run:
 Measured on the 2-core dev host (CPU backend; the batched phases are the
 TPU-resident part of the design):
 
-    batched phase 1: 166.2s (converged 1024/1024 at tol 0.003)
-    shared-basis polish: 93.5s
-    per-scenario finishes: 9.5s
-    1024 scenarios in 269.3s (263 ms/scenario incl. batched phases)
+    1024 scenarios in 296.3s (289 ms/scenario incl. batched phases;
+    round 4, CPU backend — the batched phases also compile and run on
+    the real TPU attachment, docs/DEVICE_r04.md)
     statuses: 1024/1024 solved, 1024/1024 optimal verdicts
-    finish IPM iterations: mean 1.09, p90 1, max 13
-    sampled objective check vs direct solves: max rel diff 2.05e-12
+    finish IPM iterations: mean 1.40, p90 1 (shared mean-scenario basis)
+    sampled objective check vs direct solves: max rel diff 2.17e-12
 """
 import os
 import sys

@@ -516,12 +516,14 @@ class BatchedScenarioSolver:
                 s.load_starting_basis(mean_basis)
             status = s.solve()
             # Safety net: a rough batched state (loose phase-1 tolerance)
-            # can steer the warm-started IPM into a false infeasibility or
-            # no-progress verdict. The warm start is only an accelerator
-            # here — re-solve cold before accepting a non-optimal outcome.
+            # can steer the warm-started IPM into a false infeasibility,
+            # no-progress or iteration-limit verdict. The warm start is
+            # only an accelerator here — re-solve cold before accepting a
+            # non-optimal outcome.
             bad = (int(SolveStatus.PRIMAL_INFEAS),
                    int(SolveStatus.DUAL_INFEAS),
-                   int(SolveStatus.NO_PROGRESS), int(SolveStatus.FAILED))
+                   int(SolveStatus.NO_PROGRESS), int(SolveStatus.FAILED),
+                   int(SolveStatus.ITER_LIMIT))
             if s.get_info().status_ipm in bad:
                 s2 = LpSolver(p)
                 rc2 = s2.load_model(n, self.obj_batch[k], d["lb"], d["ub"],

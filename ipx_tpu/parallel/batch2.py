@@ -53,8 +53,9 @@ class SharedBasisBatchedCR:
         D2[bad] = 1.0
         # clamp the dynamic range so the scaled solves cannot overflow
         # (weights reach ~1e+/-300 late in a polish; the preconditioner only
-        # needs their relative size)
-        np.clip(D2, 1e-150, 1e150, out=D2)
+        # needs their relative size, and 1e+/-30 keeps every quotient of
+        # two clamped values finite without runtime warnings)
+        np.clip(D2, 1e-30, 1e30, out=D2)
         self._D2 = D2
         self.iters = 0
 
