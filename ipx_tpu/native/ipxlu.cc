@@ -147,6 +147,10 @@ struct IpxLu {
 
     // pending update data
     std::vector<double> ftran_sol;   // dense, basis-position space
+    bool ftran_sol_dense = true;     // written densely last time
+    std::vector<ipxint> ftran_sol_pat;  // else its nonzero positions
+    bool xw_ft_dense = true;         // ditto for the xw_ft workspace
+    ipxint xw_ft_nz = -1;
     std::vector<ipxint> ftran_pat;
     bool ftran_pat_valid = false;
     bool have_ftran = false;
@@ -821,6 +825,8 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
     lu.spat3.resize(m);
     lu.flagstamp = 0;
     lu.ftran_sol.assign(m, 0.0);
+    lu.ftran_sol_dense = false;
+    lu.ftran_sol_pat.clear();
     if (lu.update_mode == 1)
         ft_build(lu);           // fwd-declared; rebuilds the FT structures
     else
@@ -1312,7 +1318,7 @@ static ipxint apply_etas_ftran_sparse(IpxLu& lu, double* x, ipxint* pat,
 // when the pattern exceeds m/8 (caller falls back to the dense path).
 static ipxint ft_ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
                               const double* bx, double* x,
-                              ipxint* out_pat) {
+                              ipxint* out_pat, bool assume_zero = false) {
     const ipxint m = lu.m;
     const ipxint CAP = m / 8;
     double* w = lu.work.data();
@@ -1413,7 +1419,8 @@ static ipxint ft_ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
                     }
                 }
             }
-            std::fill(x, x + m, 0.0);
+            if (!assume_zero)
+                std::fill(x, x + m, 0.0);
             ipxint nz = 0;
             for (ipxint t = 0; t < nu; t++) {
                 ipxint k = upat[t];
@@ -1435,24 +1442,24 @@ static ipxint ft_ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
 }
 
 static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
-                           const double* bx, double* x, ipxint* out_pat) {
+                           const double* bx, double* x, ipxint* out_pat,
+                           bool assume_zero = false) {
     const ipxint m = lu.m;
     if (lu.update_mode == 1 && lu.ft_valid) {
         if (nb <= m / 8) {
-            ipxint nz = ft_ftran_sparse(lu, nb, bi, bx, x, out_pat);
+            ipxint nz = ft_ftran_sparse(lu, nb, bi, bx, x, out_pat,
+                                        assume_zero);
             if (nz >= 0)
                 return nz;
         }
         // dense fallback (parity with the reference's generic FT,
-        // src/forrest_tomlin.h:14-26)
-        std::fill(x, x + m, 0.0);
+        // src/forrest_tomlin.h:14-26); ftran_dense writes all of x
         std::vector<double> bd(m, 0.0);
         for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
         ftran_dense(lu, bd.data(), x);
         return -1;
     }
     if (nb > m / 8) {
-        std::fill(x, x + m, 0.0);
         std::vector<double> bd(m, 0.0);
         for (ipxint t = 0; t < nb; t++) bd[bi[t]] = bx[t];
         ftran_dense(lu, bd.data(), x);
@@ -1476,7 +1483,8 @@ static ipxint ftran_sparse(IpxLu& lu, ipxint nb, const ipxint* bi,
     ipxint n3 = sparse_solve(lu.U, lu.Udiag.data(), lu, n2, pat2, w,
                              pat3);
     // gather into basis-position space
-    std::fill(x, x + m, 0.0);
+    if (!assume_zero)
+        std::fill(x, x + m, 0.0);
     ipxint nz = 0;
     for (ipxint t = 0; t < n3; t++) {
         ipxint k = pat3[t];
@@ -2061,13 +2069,40 @@ static ipxint ftran_col_for_update(IpxLu& lu, ipxint jn, XoverCounts& c,
         bx = &one;
         nb = 1;
     }
+    // pattern-based staging: clear only last call's content of the
+    // workspaces instead of full m-passes (a staged sparse FTRAN paid a
+    // dense zero-fill plus TWO 8m-byte copies; at m=300k those three
+    // passes dominated maxvolume's candidate evaluation)
+    if (lu.xw_ft_dense) {
+        std::fill(lu.xw_ft.begin(), lu.xw_ft.end(), 0.0);
+        lu.xw_ft_dense = false;
+    } else if (lu.xw_ft_nz > 0) {
+        for (ipxint t = 0; t < lu.xw_ft_nz; t++)
+            lu.xw_ft[lu.xw_ftpat[t]] = 0.0;
+    }
     ipxint nz = ftran_sparse(lu, nb, bi, bx, lu.xw_ft.data(),
-                             lu.xw_ftpat.data());
-    std::memcpy(lu.ftran_sol.data(), lu.xw_ft.data(), m * sizeof(double));
+                             lu.xw_ftpat.data(), /*assume_zero=*/true);
+    lu.xw_ft_nz = nz;
+    lu.xw_ft_dense = nz < 0;
+    if (lu.ftran_sol_dense) {
+        std::fill(lu.ftran_sol.begin(), lu.ftran_sol.end(), 0.0);
+        lu.ftran_sol_dense = false;
+    } else {
+        for (ipxint k : lu.ftran_sol_pat) lu.ftran_sol[k] = 0.0;
+    }
     if (nz >= 0) {
+        lu.ftran_sol_pat.assign(lu.xw_ftpat.data(),
+                                lu.xw_ftpat.data() + nz);
+        for (ipxint t = 0; t < nz; t++) {
+            ipxint k = lu.xw_ftpat[t];
+            lu.ftran_sol[k] = lu.xw_ft[k];
+        }
         lu.ftran_pat.assign(lu.xw_ftpat.data(), lu.xw_ftpat.data() + nz);
         lu.ftran_pat_valid = true;
     } else {
+        std::memcpy(lu.ftran_sol.data(), lu.xw_ft.data(),
+                    m * sizeof(double));
+        lu.ftran_sol_dense = true;
         lu.ftran_pat_valid = false;
     }
     lu.have_ftran = true;
@@ -2202,6 +2237,7 @@ static ipxint ftran_from_block(IpxLu& lu, ipxint jn, XoverCounts& c,
     double* x = lu.xw_ft.data();
     const double* X = lu.bb_X.data();
     std::memcpy(x, X + (size_t)slot * m, m * sizeof(double));
+    lu.xw_ft_dense = true;
     // etas appended since the block was built
     for (size_t q = lu.bb_eta_base; q < lu.etas.size(); q++) {
         const Eta& e = lu.etas[q];
@@ -2214,6 +2250,7 @@ static ipxint ftran_from_block(IpxLu& lu, ipxint jn, XoverCounts& c,
         }
     }
     std::memcpy(lu.ftran_sol.data(), x, m * sizeof(double));
+    lu.ftran_sol_dense = true;
     lu.ftran_pat_valid = false;
     lu.have_ftran = true;
     lu.bb_cols[slot] = -1;
@@ -3063,6 +3100,7 @@ ipxint ipxlu_ftran_for_update(void* h, ipxint nb, const ipxint* bi,
     ipxint nz = ftran_sparse(lu, nb, bi, bx, lhs, pat);
     // record spike
     std::memcpy(lu.ftran_sol.data(), lhs, lu.m * sizeof(double));
+    lu.ftran_sol_dense = true;
     if (nz >= 0) {
         lu.ftran_pat.assign(pat, pat + nz);
         lu.ftran_pat_valid = true;
@@ -3991,6 +4029,8 @@ void ipxlu_model_bind(void* h, ipxint n, const ipxint* Ap, const ipxint* Ai,
     lu.xw_rowstampval = 0;
     lu.xw_bt.assign(m, 0.0);
     lu.xw_ft.assign(m, 0.0);
+    lu.xw_ft_dense = false;
+    lu.xw_ft_nz = 0;
     lu.xw_btpat.assign(m, 0);
     lu.xw_ftpat.assign(m, 0);
 }
