@@ -288,3 +288,35 @@ def test_solve_dense_block_matches_single():
             ref = lu.solve_dense(RHS[:, t], trans)
             scale = max(1.0, np.abs(ref).max())
             assert np.abs(X[:, t] - ref).max() / scale < 1e-12, (trans, t)
+
+
+def test_interleaved_staged_ftrans_no_stale_entries():
+    """Pattern-based FTRAN staging (round 4) clears exactly the previous
+    call's nonzeros: consecutive stagings with different sparse patterns
+    must each match the dense solve, including after updates (a stale
+    entry from staging k-1 leaking into staging k would corrupt the
+    PFI eta built from the staged spike)."""
+    m = 400
+    rng = np.random.default_rng(17)
+    B = random_basis(m, 0.008, 23).tocsc()
+    lu = NativeLu(m)
+    assert lu.factorize(*csc_arrays(B), False) == 0
+    Bd = B.toarray()
+    cols = np.eye(m)
+    for it in range(30):
+        k = int(rng.integers(1, 6))
+        nz = np.sort(rng.choice(m, size=k, replace=False)).astype(np.int64)
+        vals = rng.standard_normal(k)
+        out = IndexedVector(m)
+        lu.ftran_for_update(nz, vals, out)
+        b = np.zeros(m)
+        b[nz] = vals
+        ref = np.linalg.solve(Bd, b)
+        assert np.allclose(out.values, ref, atol=1e-7), it
+        # occasionally exchange a column so eta chains + refreshes engage
+        if it % 4 == 3:
+            p = int(np.argmax(np.abs(out.values)))
+            if abs(out.values[p]) > 1e-6:
+                lu.btran_for_update(p)
+                if lu.update(out.values[p]) == 0:
+                    Bd[:, p] = b
