@@ -65,3 +65,45 @@ def test_invalid_starting_point_rejected():
     rc = s.load_ipm_starting_point(x, xl, xu, np.zeros(nc), np.zeros(nc),
                                    np.zeros(nv), np.zeros(nv))
     assert rc == int(Errflag.INVALID_VECTOR)
+
+
+def test_load_starting_basis_public_api():
+    """LpSolver.load_starting_basis installs a caller-supplied basis at the
+    phase switch: same objective, and the preset actually engages (no
+    crash construction => updates_start from the preset fixups only)."""
+    import numpy as np
+    from ipx_tpu import LpSolver, Parameters
+    import ipx_tpu.testgen as tg
+
+    data = tg.transportation(300, 450, 0.02, seed=5)
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    p.dualize = 0
+    p.crossover = 0
+    s0 = LpSolver(p)
+    tg.load_into_solver(data, s0)
+    assert s0.solve() == 1000
+    ref_obj = s0.get_info().pobjval
+    mean_basis = np.asarray(s0.basis.basis).copy()
+
+    p2 = Parameters()
+    p2.display = 0
+    p2.device = "cpu"
+    p2.dualize = 0
+    s2 = LpSolver(p2)
+    tg.load_into_solver(data, s2)
+    s2.load_starting_basis(mean_basis)
+    assert s2.solve() == 1000
+    assert abs(s2.get_info().pobjval - ref_obj) <= 1e-7 * max(1, abs(ref_obj))
+
+    # a garbage basis falls back to normal construction, still solves
+    p3 = Parameters()
+    p3.display = 0
+    p3.device = "cpu"
+    p3.dualize = 0
+    s3 = LpSolver(p3)
+    tg.load_into_solver(data, s3)
+    s3.load_starting_basis(np.zeros(data["num_constr"], dtype=np.int64))
+    assert s3.solve() == 1000
+    assert abs(s3.get_info().pobjval - ref_obj) <= 1e-7 * max(1, abs(ref_obj))
