@@ -171,3 +171,39 @@ class NormalMatrixDevice:
     def applyT_batched_struct(self, V):
         """Batched structural product A' @ V for V (m, B)."""
         return apply_csr_batched(self.op_At, V)
+
+
+# -- operand-as-argument variants -------------------------------------------
+# Closed-over operand arrays become CONSTANTS in the jitted program: the
+# compile payload then carries every nonzero (an m=100k operand exceeded the
+# remote-compile tunnel's request limit outright, HTTP 413) and XLA may try
+# to constant-fold through them. These variants take the operand arrays as a
+# pytree ARGUMENT so the program is data-independent.
+
+def operand_tree(op: "SpmvOperand"):
+    """The device arrays of one operand as a pytree (jit argument)."""
+    return dict(idx=op.idx32, vals=op.vals, seg=op.seg)
+
+
+def apply_csr_batched_tree(tree, num_segments: int, U):
+    """Batched A @ U with the operand supplied as a pytree argument."""
+    import jax
+    import jax.numpy as jnp
+    g = jnp.take(U, tree["idx"], axis=0)
+    return jax.ops.segment_sum(tree["vals"][:, None] * g, tree["seg"],
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def normal_tree(nmd: "NormalMatrixDevice"):
+    """Both operand trees of a NormalMatrixDevice as one pytree."""
+    return dict(A=operand_tree(nmd.op_A), At=operand_tree(nmd.op_At))
+
+
+def normal_apply_batched_tree(tree, n: int, W, V):
+    """Batched AI W AI' V with operands as a pytree argument; n is the
+    structural column count (static)."""
+    U = apply_csr_batched_tree(tree["At"], n, V)
+    U = U * W[:n]
+    out = apply_csr_batched_tree(tree["A"], W.shape[0] - n, U)
+    return out + W[n:] * V

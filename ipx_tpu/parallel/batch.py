@@ -83,21 +83,55 @@ class BatchedPhase1Solver:
         self.bT = jnp.asarray(lp.b.T)          # (m, B)
         self.cT = jnp.asarray(lp.c.T)          # (nm, B)
 
-        self._start_fn = jax.jit(self._starting_point)
-        self._step_fn = jax.jit(self._ipm_step)
+        # The SpMV operand arrays are passed as jit ARGUMENTS (not closed
+        # over): closed-over device arrays embed every nonzero as program
+        # constants, which blows up remote-compile payloads (an m=100k
+        # operand exceeded the tunnel's request limit, HTTP 413) and
+        # invites constant-folding over the data.
+        from ..ops.spmv import normal_tree
+        self._ops_tree = normal_tree(self.nmd)
+        self._ops = None
+
+        def _start_with_ops(ops, dummy):
+            self._ops = ops
+            try:
+                return self._starting_point(dummy)
+            finally:
+                self._ops = None
+
+        def _step_with_ops(ops, S):
+            self._ops = ops
+            try:
+                return self._ipm_step(S)
+            finally:
+                self._ops = None
+
+        self._start_fn = jax.jit(_start_with_ops)
+        self._step_fn = jax.jit(_step_with_ops)
 
     # ------------------------------------------------------------------
     # batched linear algebra helpers (column-major batch: arrays (dim, B))
     # ------------------------------------------------------------------
     def _AI_mul(self, X):
         n = self.n
+        if self._ops is not None:
+            from ..ops.spmv import apply_csr_batched_tree
+            return apply_csr_batched_tree(self._ops["A"], self.m,
+                                          X[:n]) + X[n:]
         return self.nmd.apply_batched_struct(X[:n]) + X[n:]
 
     def _AIt_mul(self, Y):
         jnp = self.jax.numpy
+        if self._ops is not None:
+            from ..ops.spmv import apply_csr_batched_tree
+            At = apply_csr_batched_tree(self._ops["At"], self.n, Y)
+            return jnp.concatenate([At, Y], axis=0)
         return jnp.concatenate([self.nmd.applyT_batched_struct(Y), Y], axis=0)
 
     def _normal_apply(self, W, V):
+        if self._ops is not None:
+            from ..ops.spmv import normal_apply_batched_tree
+            return normal_apply_batched_tree(self._ops, self.n, W, V)
         return self.nmd.apply_batched(W, V)
 
     def _cr_solve(self, W, diag, resscale, RHS, tol):
@@ -381,9 +415,9 @@ class BatchedPhase1Solver:
     def solve(self):
         """Runs the batched IPM to convergence (or maxiter). Returns a dict
         with per-scenario solutions and stats (numpy)."""
-        S = self._start_fn(0)
+        S = self._start_fn(self._ops_tree, 0)
         for _ in range(self.maxiter):
-            S = self._step_fn(S)
+            S = self._step_fn(self._ops_tree, S)
             if bool(self.jax.numpy.all(S["done"])):
                 break
         out = {k: np.asarray(v) for k, v in S.items()}

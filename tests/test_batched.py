@@ -51,10 +51,10 @@ def test_batched_matches_sequential():
 def test_batched_convergence_mask():
     _, blp = make_batch(B=3, seed=5)
     solver = BatchedPhase1Solver(blp, maxiter=60)
-    S = solver._start_fn(0)
+    S = solver._start_fn(solver._ops_tree, 0)
     assert not bool(np.any(np.asarray(S["done"])))
     for _ in range(60):
-        S = solver._step_fn(S)
+        S = solver._step_fn(solver._ops_tree, S)
         if bool(np.all(np.asarray(S["done"]))):
             break
     assert bool(np.all(np.asarray(S["done"])))
