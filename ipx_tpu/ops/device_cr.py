@@ -67,15 +67,19 @@ _ERRFLAG_MAP = {
 
 
 def _build_cr_fn(jax, nmd, m: int, n: int):
-    """Builds the jitted CR solve over the scatter-free SpMV operands
+    """Builds the jitted CR solve over the SpMV operands
     (ipx_tpu.ops.spmv.NormalMatrixDevice). dtype follows the operand /
-    input arrays (f64, or f32 for the mixed-precision inner solve)."""
+    input arrays (f64, or f32 for the mixed-precision inner solve).
+    The operand arrays arrive through the `dev` pytree ARGUMENT rather
+    than a closure, so the compiled program carries no data constants
+    (closed-over operands blew past the remote compiler's payload limit
+    at m=100k and slowed every tunnel compile)."""
     jnp = jax.numpy
     lax = jax.lax
+    from .spmv import normal_apply_tree
 
     def matvec(dev, W, v):
-        del dev
-        return nmd.apply(W, v)
+        return normal_apply_tree(dev, n, W, v)
 
     def cr(dev, W, diag, resscale, rhs, tol, maxiter):
         inv_diag = 1.0 / diag
@@ -216,13 +220,14 @@ class DeviceNormalCR:
         self.m = m
 
         # build (or reuse) the scatter-free SpMV operands and the jitted CR
-        from .spmv import NormalMatrixDevice
+        from .spmv import NormalMatrixDevice, normal_tree
         if not hasattr(model, "_normal_device"):
             model._normal_device = NormalMatrixDevice(model.A)
             model._device_cr_fn = _build_cr_fn(jax, model._normal_device,
                                                m, n)
+            model._normal_device_tree = normal_tree(model._normal_device)
         self._fn = model._device_cr_fn
-        self._dev = 0   # operands are closed over in the jitted fn
+        self._dev = model._normal_device_tree
         self._W = jnp.asarray(W)
         self._diag = jnp.asarray(diag)
         self._resscale = jnp.asarray(resscale)
@@ -276,13 +281,16 @@ class MixedPrecisionDeviceCR:
         m, n = model.num_rows, model.num_cols
         self.m, self.n = m, n
 
-        from .spmv import NormalMatrixDevice
+        from .spmv import NormalMatrixDevice, normal_tree
         if not hasattr(model, "_normal_device32"):
             model._normal_device32 = NormalMatrixDevice(
                 model.A, dtype=np.float32)
             model._device_cr32_fn = _build_cr_fn(
                 jax, model._normal_device32, m, n)
+            model._normal_device32_tree = normal_tree(
+                model._normal_device32)
         self._fn = model._device_cr32_fn
+        self._dev = model._normal_device32_tree
         f32 = jnp.float32
         self._W32 = jnp.asarray(W, dtype=f32)
         self._diag32 = jnp.asarray(diag, dtype=f32)
@@ -323,7 +331,7 @@ class MixedPrecisionDeviceCR:
                 break
             inner_tol = max(tol, self.F32_FLOOR * snorm)
             dy, it, inner_err = self._fn(
-                0, self._W32, self._diag32, self._resscale32,
+                self._dev, self._W32, self._diag32, self._resscale32,
                 jnp.asarray(r, dtype=jnp.float32),
                 jnp.float32(inner_tol),
                 jnp.int64(maxiter - iters_total))

@@ -207,3 +207,21 @@ def normal_apply_batched_tree(tree, n: int, W, V):
     U = U * W[:n]
     out = apply_csr_batched_tree(tree["A"], W.shape[0] - n, U)
     return out + W[n:] * V
+
+
+def apply_csr_tree(tree, num_segments: int, u):
+    """Single-vector A @ u with the operand supplied as a pytree argument."""
+    import jax
+    import jax.numpy as jnp
+    g = jnp.take(u, tree["idx"], axis=0)
+    return jax.ops.segment_sum(tree["vals"] * g, tree["seg"],
+                               num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def normal_apply_tree(tree, n: int, W, v):
+    """Single-vector AI W AI' v with operands as a pytree argument."""
+    u = apply_csr_tree(tree["At"], n, v)
+    u = u * W[:n]
+    out = apply_csr_tree(tree["A"], W.shape[0] - n, u)
+    return out + W[n:] * v
