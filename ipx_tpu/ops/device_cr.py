@@ -77,9 +77,10 @@ def _build_cr_fn(jax, nmd, m: int, n: int):
     jnp = jax.numpy
     lax = jax.lax
     from .spmv import normal_apply_tree
+    R_A, R_At = nmd.op_A.R, nmd.op_At.R     # static ints (closure-safe)
 
     def matvec(dev, W, v):
-        return normal_apply_tree(dev, n, W, v)
+        return normal_apply_tree(dev, n, R_A, R_At, W, v)
 
     def cr(dev, W, diag, resscale, rhs, tol, maxiter):
         inv_diag = 1.0 / diag

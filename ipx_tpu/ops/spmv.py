@@ -92,21 +92,18 @@ def flat_cumsum(x, R: int):
 
 def apply_csr(op: SpmvOperand, u):
     """Computes A @ u for the CSR operand (or A' @ v for a CSC operand of
-    the same matrix)."""
-    import jax
+    the same matrix). SINGLE-VECTOR applies keep the cumsum formulation:
+    measured on the chip it runs ~1.4x faster than take+segment_sum at
+    B=1 (235.9 vs 167.8 looped matvec/s at m=20k) — the segment scatter
+    only wins once a batch axis fills the lanes."""
     import jax.numpy as jnp
-    if USE_CUMSUM:
-        g = jnp.take_along_axis(u.reshape(-1, 1), op.gather_idx, axis=0)[:, 0]
-        contrib = op.vals * g
-        c = flat_cumsum(contrib, op.R)
-        cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
-        hi = jnp.take_along_axis(cext.reshape(-1, 1), op.ends, axis=0)[:, 0]
-        lo = jnp.take_along_axis(cext.reshape(-1, 1), op.starts, axis=0)[:, 0]
-        return hi - lo
-    g = jnp.take(u, op.idx32, axis=0)
-    return jax.ops.segment_sum(op.vals * g, op.seg,
-                               num_segments=op.num_segments,
-                               indices_are_sorted=True)
+    g = jnp.take_along_axis(u.reshape(-1, 1), op.gather_idx, axis=0)[:, 0]
+    contrib = op.vals * g
+    c = flat_cumsum(contrib, op.R)
+    cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
+    hi = jnp.take_along_axis(cext.reshape(-1, 1), op.ends, axis=0)[:, 0]
+    lo = jnp.take_along_axis(cext.reshape(-1, 1), op.starts, axis=0)[:, 0]
+    return hi - lo
 
 
 def apply_csr_batched(op: SpmvOperand, U):
@@ -181,8 +178,11 @@ class NormalMatrixDevice:
 # pytree ARGUMENT so the program is data-independent.
 
 def operand_tree(op: "SpmvOperand"):
-    """The device arrays of one operand as a pytree (jit argument)."""
-    return dict(idx=op.idx32, vals=op.vals, seg=op.seg)
+    """The device arrays of one operand as a pytree (jit argument); carries
+    both representations (segment ids for batched, boundary pointers for
+    the faster single-vector cumsum path)."""
+    return dict(idx=op.idx32, vals=op.vals, seg=op.seg,
+                gidx=op.gather_idx, starts=op.starts, ends=op.ends)
 
 
 def apply_csr_batched_tree(tree, num_segments: int, U):
@@ -209,19 +209,24 @@ def normal_apply_batched_tree(tree, n: int, W, V):
     return out + W[n:] * V
 
 
-def apply_csr_tree(tree, num_segments: int, u):
-    """Single-vector A @ u with the operand supplied as a pytree argument."""
-    import jax
+def apply_csr_tree(tree, R: int, u):
+    """Single-vector A @ u with the operand supplied as a pytree argument
+    (cumsum formulation — see apply_csr for the measured B=1 advantage).
+    R = op.R, a static int."""
     import jax.numpy as jnp
-    g = jnp.take(u, tree["idx"], axis=0)
-    return jax.ops.segment_sum(tree["vals"] * g, tree["seg"],
-                               num_segments=num_segments,
-                               indices_are_sorted=True)
+    g = jnp.take_along_axis(u.reshape(-1, 1), tree["gidx"], axis=0)[:, 0]
+    c = flat_cumsum(tree["vals"] * g, R)
+    cext = jnp.concatenate([jnp.zeros(1, dtype=c.dtype), c])
+    hi = jnp.take_along_axis(cext.reshape(-1, 1), tree["ends"], axis=0)[:, 0]
+    lo = jnp.take_along_axis(cext.reshape(-1, 1), tree["starts"],
+                             axis=0)[:, 0]
+    return hi - lo
 
 
-def normal_apply_tree(tree, n: int, W, v):
-    """Single-vector AI W AI' v with operands as a pytree argument."""
-    u = apply_csr_tree(tree["At"], n, v)
+def normal_apply_tree(tree, n: int, R_A: int, R_At: int, W, v):
+    """Single-vector AI W AI' v with operands as a pytree argument; the
+    R_* block counts are static ints."""
+    u = apply_csr_tree(tree["At"], R_At, v)
     u = u * W[:n]
-    out = apply_csr_tree(tree["A"], W.shape[0] - n, u)
+    out = apply_csr_tree(tree["A"], R_A, u)
     return out + W[n:] * v
