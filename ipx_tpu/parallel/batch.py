@@ -83,31 +83,41 @@ class BatchedPhase1Solver:
         self.bT = jnp.asarray(lp.b.T)          # (m, B)
         self.cT = jnp.asarray(lp.c.T)          # (nm, B)
 
-        # The SpMV operand arrays are passed as jit ARGUMENTS (not closed
-        # over): closed-over device arrays embed every nonzero as program
-        # constants, which blows up remote-compile payloads (an m=100k
-        # operand exceeded the tunnel's request limit, HTTP 413) and
-        # invites constant-folding over the data.
-        from ..ops.spmv import normal_tree
-        self._ops_tree = normal_tree(self.nmd)
+        # The SpMV operands AND the per-scenario data (bT, cT, A².data) are
+        # passed as jit ARGUMENTS (not closed over): closed-over device
+        # arrays embed every element as program constants, which blows up
+        # remote-compile payloads (an m=100k operand exceeded the tunnel's
+        # request limit, HTTP 413 — and so did the (nm, 256) cT array at
+        # m=20k) and invites constant-folding over the data.
+        from ..ops.spmv import normal_tree, operand_tree, SpmvOperand
+        A2 = lp.A.tocsr().copy()
+        A2.data = A2.data ** 2
+        A2.sort_indices()
+        self._A2op = SpmvOperand(A2.indptr, A2.indices, A2.data, m)
+        self._ops_tree = dict(normal_tree(self.nmd), bT=self.bT,
+                              cT=self.cT, A2=operand_tree(self._A2op))
         self._ops = None
 
-        def _start_with_ops(ops, dummy):
+        def _with_ops(ops, fn, *a):
             self._ops = ops
+            bT, cT = self.bT, self.cT
+            self.bT, self.cT = ops["bT"], ops["cT"]
             try:
-                return self._starting_point(dummy)
+                return fn(*a)
             finally:
                 self._ops = None
+                self.bT, self.cT = bT, cT
+
+        def _start_with_ops(ops, dummy):
+            return _with_ops(ops, self._starting_point, dummy)
 
         def _step_with_ops(ops, S):
-            self._ops = ops
-            try:
-                return self._ipm_step(S)
-            finally:
-                self._ops = None
+            return _with_ops(ops, self._ipm_step, S)
 
         self._start_fn = jax.jit(_start_with_ops)
-        self._step_fn = jax.jit(_step_with_ops)
+        # donate the state: halves live HBM at large (n+m, B) — every step
+        # consumes its input state and produces the next one
+        self._step_fn = jax.jit(_step_with_ops, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     # batched linear algebra helpers (column-major batch: arrays (dim, B))
@@ -203,7 +213,7 @@ class BatchedPhase1Solver:
         X = jnp.clip(jnp.zeros((nm, B)), lb, ub)
         RB = self.bT - self._AI_mul(X)
         tol = 0.1 * jnp.max(jnp.abs(RB), axis=0) + 1e-300
-        DY, _ = self._cr_solve(W1, diag, jnp.ones((m, 1)), RB, tol)
+        DY, it_sp = self._cr_solve(W1, diag, jnp.ones((m, 1)), RB, tol)
         DX = self._AIt_mul(DY)             # W = I: x = AI'(y)
         X = X + DX
 
@@ -218,7 +228,7 @@ class BatchedPhase1Solver:
         # dual: least squares AI'y = c
         tolc = 0.1 * jnp.max(jnp.abs(self.cT), axis=0) + 1e-300
         CB = self._AI_mul(W1 * self.cT)
-        Y, _ = self._cr_solve(W1, diag, jnp.ones((m, 1)), CB, tolc)
+        Y, it_sd = self._cr_solve(W1, diag, jnp.ones((m, 1)), CB, tolc)
         Z = self.cT - self._AIt_mul(Y)
 
         cnorm = jnp.sqrt(jnp.sum(self.cT ** 2, axis=0))
@@ -252,7 +262,8 @@ class BatchedPhase1Solver:
         XU = jnp.where(finu, XU, INF)
         return dict(X=X, XL=XL, XU=XU, Y=Y, ZL=ZL, ZU=ZU,
                     done=jnp.zeros(self.bT.shape[1], dtype=bool),
-                    iters=jnp.zeros(self.bT.shape[1], dtype=jnp.int64))
+                    iters=jnp.zeros(self.bT.shape[1], dtype=jnp.int64),
+                    cr=jnp.asarray(it_sp + it_sd, dtype=jnp.int64))
 
     def _diag_ones(self):
         """diag(AI AI') as a device constant (W = 1)."""
@@ -329,9 +340,12 @@ class BatchedPhase1Solver:
             DX = W * (RHS1 - ATY)
             # slack part: x_slack = rhs2 - A x_struct (keeps residual in
             # the slack rows, reference: src/kkt_solver_diag.cc:107-118)
-            DX = jnp.concatenate(
-                [DX[:n],
-                 RHS2 - self.nmd.apply_batched_struct(DX[:n])], axis=0)
+            if self._ops is not None:
+                from ..ops.spmv import apply_csr_batched_tree
+                Adx = apply_csr_batched_tree(self._ops["A"], m, DX[:n])
+            else:
+                Adx = self.nmd.apply_batched_struct(DX[:n])
+            DX = jnp.concatenate([DX[:n], RHS2 - Adx], axis=0)
             DYn = -DY
             DXL = jnp.where(finl | finu, DX - RL, 0.0)
             DZL = jnp.where(finl | finu, (SL - ZL * DXL) / XL, 0.0)
@@ -396,18 +410,20 @@ class BatchedPhase1Solver:
         ZUn = jnp.where(upd & finu,
                         jnp.maximum(ZU + alphad * DZU, BARRIER_MIN), ZU)
 
-        return dict(X=X, XL=XLn, XU=XUn, Y=Y, ZL=ZLn, ZU=ZUn, done=done,
-                    iters=S["iters"] + upd.astype(S["iters"].dtype))
+        out = dict(X=X, XL=XLn, XU=XUn, Y=Y, ZL=ZLn, ZU=ZUn, done=done,
+                   iters=S["iters"] + upd.astype(S["iters"].dtype))
+        if "cr" in S:
+            # total batched-CR while-loop trips (each = one batched normal
+            # apply over all B lanes); feeds the matvecs/s reporting
+            out["cr"] = S["cr"] + it1 + it2
+        return out
 
     def _diag_w(self, W):
         """Batched diag(AI W AI') = A.^2 @ W_struct + W_slack."""
-        jnp = self.jax.numpy
-        if not hasattr(self, "_A2op"):
-            from ..ops.spmv import SpmvOperand
-            A2 = self.lp.A.tocsr().copy()
-            A2.data = A2.data ** 2
-            A2.sort_indices()
-            self._A2op = SpmvOperand(A2.indptr, A2.indices, A2.data, self.m)
+        if self._ops is not None:
+            from ..ops.spmv import apply_csr_batched_tree
+            return apply_csr_batched_tree(self._ops["A2"], self.m,
+                                          W[:self.n]) + W[self.n:]
         from ..ops.spmv import apply_csr_batched
         return apply_csr_batched(self._A2op, W[:self.n]) + W[self.n:]
 
