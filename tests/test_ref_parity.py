@@ -77,3 +77,59 @@ def test_assignment_lands_in_nug_bands():
     m = 2 * 120
     pushes_per_krow = (info.pushes_dual + info.pushes_primal) / m * 1000
     assert pushes_per_krow <= 2 * ref["pushes_per_krow"]
+
+
+def _bands(info, ref, rows=None, push_band=False):
+    """Shared 2x-band assertions: per-iteration efficiency must be within
+    a factor 2 of the reference anchor's own logfile-derived metrics."""
+    it = max(info.iter, 1)
+    assert info.iter <= 2 * ref["iter"]
+    assert info.kktiter2 / it <= 2 * max(ref["kkt2_per_iter"], 1.0)
+    assert info.updates_ipm / it <= 2 * max(ref["upd_per_iter"], 1.0)
+    if push_band and rows:
+        pushes_per_krow = (info.pushes_dual + info.pushes_primal) \
+            / rows * 1000
+        assert pushes_per_krow <= 2 * max(ref["pushes_per_krow"], 1.0)
+
+
+def test_staircase_lands_in_srd180_bands():
+    """Second srd anchor (m=280k class): larger staircase instance."""
+    anchors, derived = _anchors()
+    ref = derived(anchors["srd180"])
+    info = _solve(tg.staircase(60, 900, seed=1))
+    _bands(info, ref)
+
+
+def test_assignment_lands_in_nug15_bands():
+    """Second nug anchor: the QAP class scales iterations slowly."""
+    anchors, derived = _anchors()
+    ref = derived(anchors["nug15"])
+    info = _solve(tg.assignment(150, seed=1))
+    _bands(info, ref, rows=300, push_band=True)
+
+
+def test_transportation_lands_in_ken18_bands():
+    """Diverse-set anchor ken-18 (multicommodity network) vs our
+    transportation class — the headline bench family."""
+    anchors, derived = _anchors()
+    ref = derived(anchors["ken-18"])
+    info = _solve(tg.transportation(800, 1200, 0.01, 1))
+    _bands(info, ref)
+
+
+def test_grid_lands_in_pds100_bands():
+    """Diverse-set anchor pds-100 (pure network flow) vs our grid class
+    (the family where maxvolume quality is hardest, VERDICT r4 weak #3)."""
+    anchors, derived = _anchors()
+    ref = derived(anchors["pds-100"])
+    info = _solve(tg.grid_flow(60, 60, seed=1))
+    _bands(info, ref, rows=3600, push_band=True)
+
+
+def test_production_lands_in_creb_bands():
+    """Diverse-set anchor cre-b (resource allocation) vs our production
+    class."""
+    anchors, derived = _anchors()
+    ref = derived(anchors["cre-b"])
+    info = _solve(tg.production(1500, 400, seed=1))
+    _bands(info, ref)

@@ -110,11 +110,25 @@ def main():
     import ipx_tpu.testgen as tg
     anchors = reference_anchors()
 
-    # matched-class pairs: (reference anchor, our testgen instance)
+    # matched-class pairs: (reference anchor, our testgen instance).
+    # Class matching: srdNNN are stochastic multi-period staircases;
+    # nugNN are QAP linearizations (dense assignment-like, massively
+    # degenerate); ken-18 is a multicommodity network (our transportation
+    # class); pds-100 is a pure network-flow family (our grid class);
+    # cre-b is a resource-allocation LP (our production class).
     pairs = [
         ("srd060", "staircase(120,1500)",
          lambda: tg.staircase(120, 1500, seed=1)),
+        ("srd180", "staircase(240,1500)",
+         lambda: tg.staircase(240, 1500, seed=1)),
         ("nug12", "assignment(300)", lambda: tg.assignment(300, seed=1)),
+        ("nug15", "assignment(400)", lambda: tg.assignment(400, seed=1)),
+        ("ken-18", "transport(2000,3000)",
+         lambda: tg.transportation(2000, 3000, 0.004, 1)),
+        ("pds-100", "grid_flow(150,150)",
+         lambda: tg.grid_flow(150, 150, seed=1)),
+        ("cre-b", "production(5000,1500)",
+         lambda: tg.production(5000, 1500, seed=1)),
     ]
     rows = []
     for ref_name, our_name, gen in pairs:
