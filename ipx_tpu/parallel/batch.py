@@ -55,7 +55,7 @@ class BatchedPhase1Solver:
 
     def __init__(self, lp: BatchedLp, feasibility_tol=1e-6,
                  optimality_tol=1e-8, kkt_tol=0.3, cr_maxiter=500,
-                 maxiter=100):
+                 maxiter=100, cr_dtype="f32", cr64_maxiter=None):
         jax = _jx()
         jnp = jax.numpy
         self.jax = jax
@@ -78,6 +78,12 @@ class BatchedPhase1Solver:
             optimality_tol=optimality_tol,
             kkt_tol=kkt_tol,
             cr_maxiter=cr_maxiter,
+            # separate budget for the f64 defect-correction finish: an f64
+            # CR trip is ~6x an f32 trip on TPU, and remote-execution
+            # backends can impose a per-dispatch deadline — capping the
+            # finish bounds the worst-case step execution time
+            cr64_maxiter=(cr64_maxiter if cr64_maxiter is not None
+                          else cr_maxiter),
         )
         self.maxiter = maxiter
         self.bT = jnp.asarray(lp.b.T)          # (m, B)
@@ -96,6 +102,20 @@ class BatchedPhase1Solver:
         self._A2op = SpmvOperand(A2.indptr, A2.indices, A2.data, m)
         self._ops_tree = dict(normal_tree(self.nmd), bT=self.bT,
                               cT=self.cT, A2=operand_tree(self._A2op))
+        # mixed precision: the inner CR loop runs in f32 (same scheme as
+        # the host native CR: f32 recurrences, f64 outer Newton).  On TPU
+        # the f64 CR body is ~6x slower per trip (f64 is emulated); phase-1
+        # CR tolerances (kkt_tol*sqrt(mu) with mu >= ~1e-8) sit far above
+        # the f32 roundoff floor, and the predictor-corrector absorbs
+        # inexact directions (inexact Newton, reference loc.cit.).
+        self.cr_dtype = cr_dtype
+        if cr_dtype == "f32":
+            jnp32 = jnp.float32
+            t32 = dict(self._ops_tree["At"])
+            t32["vals"] = t32["vals"].astype(jnp32)
+            a32 = dict(self._ops_tree["A"])
+            a32["vals"] = a32["vals"].astype(jnp32)
+            self._ops_tree = dict(self._ops_tree, A32=a32, At32=t32)
         self._ops = None
 
         def _with_ops(ops, fn, *a):
@@ -144,23 +164,22 @@ class BatchedPhase1Solver:
             return normal_apply_batched_tree(self._ops, self.n, W, V)
         return self.nmd.apply_batched(W, V)
 
-    def _cr_solve(self, W, diag, resscale, RHS, tol):
-        """Batched preconditioned CR on the normal equations: solves
-        (AI W AI') Y = RHS per scenario to scaled-infnorm tol (per-scenario
-        vector). Fixed-iteration while loop with per-scenario freeze."""
+    def _normal_apply32(self, W32, V32):
+        """f32 batched AI W AI' V through the f32 operand trees."""
+        from ..ops.spmv import apply_csr_batched_tree
+        jnp = self.jax.numpy
+        n = self.n
+        U = apply_csr_batched_tree(self._ops["At32"], n, V32)
+        U = U * W32[:n]
+        out = apply_csr_batched_tree(self._ops["A32"], self.m, U)
+        return out + W32[n:] * V32
+
+    def _cr_loop(self, C, P, resscale, RHS, tol, maxiter):
+        """One preconditioned-CR while loop with per-scenario freeze, in
+        the dtype of RHS. Returns (Y, trips)."""
         jax = self.jax
         jnp = jax.numpy
         lax = jax.lax
-        m = self.m
-        inv_diag = 1.0 / diag
-
-        def C(V):
-            out = self._normal_apply(W, V)
-            return out, jnp.sum(V * out, axis=0)
-
-        def P(V):
-            out = V * inv_diag
-            return out, jnp.sum(V * out, axis=0)
 
         Y0 = jnp.zeros_like(RHS)
         R0 = RHS
@@ -172,7 +191,7 @@ class BatchedPhase1Solver:
         def cond(state):
             _, R, *_, it = state
             resnorm = jnp.max(jnp.abs(resscale * R), axis=0)
-            return (it < self.static["cr_maxiter"]) & jnp.any(resnorm > tol)
+            return (it < maxiter) & jnp.any(resnorm > tol)
 
         def body(state):
             Y, R, S, CS, D, CD, cdot, it = state
@@ -193,6 +212,88 @@ class BatchedPhase1Solver:
 
         state = lax.while_loop(cond, body, state0)
         return state[0], state[7]
+
+    def _cr_solve(self, W, diag, resscale, RHS, tol):
+        """Batched preconditioned CR on the normal equations: solves
+        (AI W AI') Y = RHS per scenario to scaled-infnorm tol (per-scenario
+        vector). With cr_dtype == 'f32' (default) the recurrences run in
+        f32 chunks wrapped in f64 defect correction — the same scheme as
+        the host native mixed-precision CR (ipxlu.cc
+        cr_diag_explicit_mixed): on TPU the f64 CR body is ~6x slower per
+        trip (f64 is emulated), while phase-1 CR tolerances sit far above
+        the f32 roundoff floor for most of the run; the f64 outer residual
+        recovers the rest."""
+        jax = self.jax
+        jnp = jax.numpy
+        lax = jax.lax
+        inv_diag = 1.0 / diag
+
+        def C(V):
+            out = self._normal_apply(W, V)
+            return out, jnp.sum(V * out, axis=0)
+
+        def P(V):
+            out = V * inv_diag
+            return out, jnp.sum(V * out, axis=0)
+
+        f32 = self.cr_dtype == "f32" and self._ops is not None \
+            and "A32" in self._ops
+        if not f32:
+            return self._cr_loop(C, P, resscale, RHS, tol,
+                                 self.static["cr_maxiter"])
+
+        dt = jnp.float32
+        W32, inv32 = W.astype(dt), inv_diag.astype(dt)
+        rs32 = resscale.astype(dt)
+        tol32 = tol.astype(dt) if hasattr(tol, "astype") else tol
+
+        def C32(V):
+            out = self._normal_apply32(W32, V)
+            return out, jnp.sum(V * out, axis=0)
+
+        def P32(V):
+            out = V * inv32
+            return out, jnp.sum(V * out, axis=0)
+
+        # f64 defect correction around capped f32 CR chunks: each outer
+        # pass solves C dY = R in f32 (CHUNK trips max), accumulates Y in
+        # f64 and recomputes the true f64 residual. Stops on convergence,
+        # iteration budget, or when an outer pass stops reducing the worst
+        # scaled residual (f32 floor reached + refinement no longer
+        # helping).
+        CHUNK = min(125, self.static["cr_maxiter"])
+        maxit = self.static["cr_maxiter"]
+
+        def outer_cond(st):
+            Y, R, trips, best, stalled = st
+            resnorm = jnp.max(jnp.abs(resscale * R), axis=0)
+            return (trips < maxit) & jnp.any(resnorm > tol) & ~stalled
+
+        def outer_body(st):
+            Y, R, trips, best, stalled = st
+            budget = jnp.minimum(CHUNK, maxit - trips)
+            dY32, t = self._cr_loop(C32, P32, rs32, R.astype(dt), tol32,
+                                    budget)
+            Y = Y + dY32.astype(RHS.dtype)
+            CY, _ = C(Y)
+            R = RHS - CY
+            resnorm = jnp.max(jnp.abs(resscale * R), axis=0)
+            worst = jnp.max(jnp.where(resnorm > tol, resnorm / tol, 0.0))
+            stalled = worst >= 0.9 * best
+            best = jnp.minimum(best, worst)
+            return (Y, R, trips + t, best, stalled)
+
+        st0 = (jnp.zeros_like(RHS), RHS, jnp.int64(0),
+               jnp.asarray(jnp.inf, RHS.dtype), jnp.asarray(False))
+        Y, R, trips, _, _ = lax.while_loop(outer_cond, outer_body, st0)
+        # f64 finish: lanes whose scaled residual the f32 floor cannot
+        # close (cond(S)*eps32 > 1 late in phase 1) get their own budget
+        # of f64 CR on the defect. No-op when all lanes already converged;
+        # when the budget runs out the IPM proceeds with the inexact
+        # direction (inexact Newton, kkt_tol absorbs it).
+        dY, t2 = self._cr_loop(C, P, resscale, R, tol,
+                               self.static["cr64_maxiter"])
+        return Y + dY, trips + t2
 
     # ------------------------------------------------------------------
     def _starting_point(self, dummy):

@@ -31,6 +31,140 @@ import numpy as np
 import scipy.sparse as sp
 
 
+class SharedBasisLowRank:
+    """Per-scenario rank-r Woodbury correction of the shared-basis
+    preconditioner (the VERDICT-r4 'batched-finish stagnation' fix).
+
+    The shared preconditioner M0_k = B diag(D_k^2) B' ignores the nonbasic
+    part N W_N N' of the true normal matrix. For the mean scenario that is
+    fine (maxvolume drove every nonbasic column's weighted leverage below
+    volume_tol), but an off-mean scenario k can have nonbasic columns j
+    whose weight w_jk has grown large — each contributes an outlier
+    eigenvalue ~ 1 + w_jk * ||D_k^{-1} B^{-1} a_j||^2 to M0_k^{-1} S_k,
+    and the batched polish stagnates once CR has to grind through those
+    outliers every solve. This is the 'soft' version of what maxvolume
+    would do per scenario (swap those columns into the basis,
+    reference: src/maxvolume.cc:96-186) without B refactorizations:
+
+        M_k = B D_k^2 B' + U_k S_k U_k',   U_k = AI[:, J_k]
+
+    applied by Sherman-Morrison-Woodbury with one blocked B solve for the
+    candidate pool (scenario-independent) and one blocked B' solve for
+    the per-scenario P_k U_k.
+
+    Selection: candidate pool = union of per-scenario top-c nonbasic
+    weights; exact leverages from the pooled solve Z = B^{-1} AI_pool;
+    per-scenario top-r columns by score w_jk * sum_i Z_ij^2 / D2_ik with
+    scores below tau dropped (their slots are made inert).
+    """
+
+    def __init__(self, basis, W: np.ndarray, D2: np.ndarray, r: int = 8,
+                 pool_cap: int = 256, tau: float = 0.25):
+        import scipy.sparse as sp
+        md = basis.model
+        m, n = md.num_rows, md.num_cols
+        self.m, self.n = m, n
+        W = np.asarray(W)
+        B = W.shape[1]
+        self.B = B
+        r = min(r, m)
+
+        nb_mask = np.ones(n + m, dtype=bool)
+        nb_mask[np.asarray(basis.basis, dtype=np.int64)] = False
+        Wn = np.where(nb_mask[:, None], W, 0.0)
+        Wn[~np.isfinite(Wn)] = 0.0
+
+        # pool: union of per-scenario top-c nonbasic weights
+        c = min(r, n + m - 1)
+        idx = np.argpartition(-Wn, c, axis=0)[:c]
+        pool = np.unique(idx.ravel())
+        pool = pool[nb_mask[pool] & (np.max(Wn[pool], axis=1) > 0.0)]
+        if len(pool) > pool_cap:
+            order = np.argsort(-np.max(Wn[pool], axis=1))
+            pool = np.sort(pool[order[:pool_cap]])
+        self.active = len(pool) > 0
+        if not self.active:
+            return
+        p = len(pool)
+
+        # AI[:, pool] as a sparse matrix (structural + slack columns)
+        cols = []
+        A = md.A.tocsc()
+        eye = sp.eye(m, format="csc")
+        struct = pool[pool < n]
+        slack = pool[pool >= n] - n
+        Apool = sp.hstack(
+            [A[:, struct], eye[:, slack]], format="csc") \
+            if len(slack) else A[:, struct].tocsc()
+        # keep pool order consistent with the hstack order
+        pool = np.concatenate([pool[pool < n], pool[pool >= n]])
+        self.pool = pool
+
+        Z = basis.lu.solve_dense_block(
+            np.asarray(Apool.todense(), dtype=np.float64, order="C"),
+            False)                                   # B Z = AI_pool (m, p)
+        invD2 = 1.0 / np.clip(D2, 1e-300, None)
+        lev = (Z * Z).T @ invD2                      # (p, B)
+        score = W[pool, :] * lev
+        score[~np.isfinite(score)] = 0.0
+
+        r = min(r, p)
+        sel = np.argpartition(-score, r - 1, axis=0)[:r]     # (r, B)
+        ssel = np.take_along_axis(score, sel, axis=0)
+        keep = ssel > tau                                     # (r, B)
+        if not keep.any():
+            self.active = False
+            return
+        wsel = np.take_along_axis(W[pool, :], sel, axis=0)
+        wsel = np.where(keep, wsel, 0.0)
+
+        # per-scenario P_k U_k via one blocked B' solve: column (j, k) is
+        # B'^{-T}( D2_k^{-1} Z[:, sel_jk] ); dropped slots zeroed
+        ZS = Z[:, sel]                               # (m, r, B)
+        T = ZS * invD2[:, None, :]
+        T = np.where(keep[None, :, :], T, 0.0)
+        PU = basis.lu.solve_dense_block(
+            np.ascontiguousarray(T.reshape(m, r * B)), True)
+        self.PU = PU.reshape(m, r, B)
+
+        # G_k = diag(1/w_sel) + U'PU (dropped slots -> identity rows)
+        APU = (Apool.T @ PU.reshape(m, r * B)).reshape(p, r, B)
+        G = np.empty((B, r, r))
+        for k in range(B):
+            G[k] = APU[sel[:, k], :, k]
+        G = 0.5 * (G + np.transpose(G, (0, 2, 1)))
+        with np.errstate(divide="ignore"):
+            dinv = np.where(keep, 1.0 / np.maximum(wsel, 1e-300), 0.0)
+        kz = ~keep.T                                  # (B, r)
+        G[~np.isfinite(G)] = 0.0
+        G = np.where(kz[:, :, None] | kz[:, None, :], 0.0, G)
+        ii = np.arange(r)
+        G[:, ii, ii] += np.where(kz, 1.0, dinv.T)
+        # tiny ridge keeps borderline selections factorizable
+        G[:, ii, ii] += 1e-12 * np.abs(G[:, ii, ii])
+        try:
+            self._L = np.linalg.cholesky(G)
+        except np.linalg.LinAlgError:
+            self.active = False
+            return
+        self.sel = sel
+        self.ApoolT = Apool.T.tocsr()
+
+    def apply(self, PV: np.ndarray) -> np.ndarray:
+        """Given PV = M0^{-1} V (m, B), returns the SMW-corrected
+        M^{-1} V."""
+        if not self.active:
+            return PV
+        T = self.ApoolT @ PV                         # (p, B)
+        t = np.take_along_axis(T, self.sel, axis=0)  # (r, B)
+        # batched G_k coef_k = t_k via the stored Cholesky factors
+        tb = t.T[:, :, None]                         # (B, r, 1)
+        z = np.linalg.solve(self._L, tb)
+        coef = np.linalg.solve(np.transpose(self._L, (0, 2, 1)),
+                               z)[:, :, 0].T         # (r, B)
+        return PV - np.einsum("mrk,rk->mk", self.PU, coef)
+
+
 class SharedBasisBatchedCR:
     """CR on the normal equations for a batch of weight vectors, with a
     shared basis preconditioner applied through blocked native solves."""
@@ -58,6 +192,7 @@ class SharedBasisBatchedCR:
         np.clip(D2, 1e-30, 1e30, out=D2)
         self._D2 = D2
         self.iters = 0
+        self.correction = None      # optional SharedBasisLowRank
 
     # -- batched operators ------------------------------------------------
     def _normal_apply(self, V: np.ndarray) -> np.ndarray:
@@ -71,10 +206,14 @@ class SharedBasisBatchedCR:
         return out
 
     def _precond_apply(self, V: np.ndarray) -> np.ndarray:
-        """M^{-1} V = B'^{-T}(D^{-2} (B^{-1} V)) via blocked solves."""
+        """M^{-1} V = B'^{-T}(D^{-2} (B^{-1} V)) via blocked solves, with
+        the optional per-scenario low-rank SMW correction on top."""
         Z = self.basis.lu.solve_dense_block(V, False)    # B Z = V  (slots)
         Z /= self._D2
-        return self.basis.lu.solve_dense_block(Z, True)  # B' out = Z (rows)
+        out = self.basis.lu.solve_dense_block(Z, True)   # B' out = Z (rows)
+        if self.correction is not None:
+            out = self.correction.apply(out)
+        return out
 
     # -- preconditioned CR with per-scenario freeze -----------------------
     def solve(self, RHS: np.ndarray, tol: float, maxiter: int = -1
@@ -151,6 +290,7 @@ class SharedBasisBatchedPolish:
         self.A = blp.A
         self.cr_maxiter = cr_maxiter
         self.total_cr_iters = 0
+        self._use_correction = False
         # host linear algebra replaces the device SpMV formulation
         ph = self._ph1
         ph._AI_mul = self._AI_mul
@@ -187,6 +327,12 @@ class SharedBasisBatchedPolish:
     def _cr_solve(self, W, diag, resscale, RHS, tol):
         cr = SharedBasisBatchedCR(self.basis, np.asarray(W),
                                   np.asarray(resscale))
+        if self._use_correction:
+            try:
+                cr.correction = SharedBasisLowRank(
+                    self.basis, np.asarray(W), cr._D2)
+            except Exception:
+                cr.correction = None
         tol_arr = np.asarray(tol)
         Y, ok, iters = cr.solve(np.asarray(RHS), float(np.min(tol_arr)),
                                 self.cr_maxiter)
@@ -206,29 +352,37 @@ class SharedBasisBatchedPolish:
         # for jit where numpy's invalid-op warnings do not exist)
         with np.errstate(invalid="ignore", divide="ignore"):
             best_mu = np.asarray(ph._mu_of(S)).copy()
-            since_improve = 0
+            B = best_mu.shape[0]
+            since_improve = np.zeros(B, dtype=np.int64)   # per-lane stall
             for _ in range(self.maxiter):
                 S = {k: np.asarray(v) for k, v in ph._ipm_step(S).items()}
                 if bool(np.all(S["done"])):
                     break
-                # Stagnation exit: the shared basis preconditions well only
-                # while the scenario iterates stay near the scaling it was
-                # refined for. IPM progress under a fixed preconditioner is
-                # noisy/non-monotone, so judge against the best
-                # complementarity seen per scenario over a window: stop when
-                # no unconverged scenario has improved its best mu by >=10%
-                # within the last 15 steps — the caller hands those scenarios
-                # to per-scenario finishes (the done mask says which).
+                # Per-lane stagnation tracking: the shared basis
+                # preconditions well only while a scenario's iterate stays
+                # near the scaling it was refined for, and lanes stall
+                # INDIVIDUALLY (an off-mean lane can plateau for the whole
+                # run while the rest still improve). Judge each lane
+                # against its own best complementarity over a window.
                 mu = np.asarray(ph._mu_of(S))
                 active = ~np.asarray(S["done"])
                 improved = mu < 0.9 * best_mu
                 best_mu = np.minimum(best_mu, mu)
-                if active.any() and not bool(np.any(improved[active])):
-                    since_improve += 1
-                    if since_improve >= 15:
-                        break
-                else:
-                    since_improve = 0
+                since_improve = np.where(improved, 0, since_improve + 1)
+                stalled = active & (since_improve >= 3)
+                # first response to a stalling lane: switch on the
+                # per-scenario low-rank preconditioner correction
+                # (off-mean lanes stall because the shared basis misses
+                # their grown nonbasic weights) and give the stalled lanes
+                # a fresh window before giving up
+                if stalled.any() and not self._use_correction:
+                    self._use_correction = True
+                    since_improve[stalled] = 0
+                # exit once every active lane has been flat for 15 steps
+                # (the caller hands those lanes to per-scenario finishes)
+                if active.any() and bool(
+                        np.all(since_improve[active] >= 15)):
+                    break
             S["pobj"] = np.sum(np.asarray(ph.cT) * S["X"], axis=0)
             S["mu"] = np.asarray(ph._mu_of(S))
         return S

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--B", type=int, default=256)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--cr-maxiter", type=int, default=500)
+    ap.add_argument("--cr64-maxiter", type=int, default=None,
+                    help="budget for the f64 defect-correction finish "
+                    "(bounds per-dispatch execution time on remote "
+                    "backends)")
     ap.add_argument("--maxsteps", type=int, default=0,
                     help="0 = run to convergence (or 100-iteration cap)")
     args = ap.parse_args()
@@ -79,7 +83,8 @@ def main():
     t0 = time.perf_counter()
     ph1 = BatchedPhase1Solver(bss.blp, feasibility_tol=args.tol,
                               optimality_tol=args.tol,
-                              cr_maxiter=args.cr_maxiter, maxiter=100)
+                              cr_maxiter=args.cr_maxiter, maxiter=100,
+                              cr64_maxiter=args.cr64_maxiter)
     setup_s = time.perf_counter() - t0
     jnp = jax.numpy
 
@@ -109,6 +114,8 @@ def main():
         done = bool(jnp.all(S["done"]))     # per-step sync (pipeline does this)
         step_times.append(time.perf_counter() - t1)
         steps += 1
+        print(f"# step {steps}: {step_times[-1]:.2f}s cr={int(S['cr'])}",
+              file=sys.stderr, flush=True)
         if done:
             converged = True
             break
