@@ -50,12 +50,28 @@ def _jx():
     return _get_jax()
 
 
+def _default_platform(jax) -> str:
+    """Platform jitted programs will run on: the pinned default device if
+    set, else the backend's first device. (The axon TPU plugin ignores
+    JAX_PLATFORMS, so the pin is how CPU placement happens.)"""
+    try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform
+    except Exception:
+        pass
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
 class BatchedPhase1Solver:
     """Host wrapper around the jitted batched IPM iteration."""
 
     def __init__(self, lp: BatchedLp, feasibility_tol=1e-6,
                  optimality_tol=1e-8, kkt_tol=0.3, cr_maxiter=500,
-                 maxiter=100, cr_dtype="f32", cr64_maxiter=None):
+                 maxiter=100, cr_dtype="auto", cr64_maxiter=None):
         jax = _jx()
         jnp = jax.numpy
         self.jax = jax
@@ -108,6 +124,14 @@ class BatchedPhase1Solver:
         # CR tolerances (kkt_tol*sqrt(mu) with mu >= ~1e-8) sit far above
         # the f32 roundoff floor, and the predictor-corrector absorbs
         # inexact directions (inexact Newton, reference loc.cit.).
+        # On the CPU backend f64 is native and the f32 chunking only adds
+        # restarts — "auto" picks f32 exactly when the program will run on
+        # an accelerator (the default device placement).
+        if cr_dtype == "auto" or cr_dtype == "f32":
+            if _default_platform(jax) == "cpu" and cr_dtype == "auto":
+                cr_dtype = "f64"
+            elif cr_dtype == "auto":
+                cr_dtype = "f32"
         self.cr_dtype = cr_dtype
         if cr_dtype == "f32":
             jnp32 = jnp.float32
@@ -364,6 +388,7 @@ class BatchedPhase1Solver:
         return dict(X=X, XL=XL, XU=XU, Y=Y, ZL=ZL, ZU=ZU,
                     done=jnp.zeros(self.bT.shape[1], dtype=bool),
                     iters=jnp.zeros(self.bT.shape[1], dtype=jnp.int64),
+                    mu=jnp.zeros(self.bT.shape[1]),
                     cr=jnp.asarray(it_sp + it_sd, dtype=jnp.int64))
 
     def _diag_ones(self):
@@ -513,6 +538,7 @@ class BatchedPhase1Solver:
 
         out = dict(X=X, XL=XLn, XU=XUn, Y=Y, ZL=ZLn, ZU=ZUn, done=done,
                    iters=S["iters"] + upd.astype(S["iters"].dtype))
+        out["mu"] = mu                  # (B,) diagnostics, costs nothing
         if "cr" in S:
             # total batched-CR while-loop trips (each = one batched normal
             # apply over all B lanes); feeds the matvecs/s reporting
@@ -529,14 +555,36 @@ class BatchedPhase1Solver:
         return apply_csr_batched(self._A2op, W[:self.n]) + W[self.n:]
 
     # ------------------------------------------------------------------
-    def solve(self):
-        """Runs the batched IPM to convergence (or maxiter). Returns a dict
-        with per-scenario solutions and stats (numpy)."""
+    def solve(self, handoff="auto"):
+        """Runs the batched IPM to convergence, maxiter, or the diag-era
+        handoff point. Returns a dict with per-scenario solutions and
+        stats (numpy).
+
+        handoff="auto" stops the run once the batched CR saturates its
+        iteration budget two steps in a row — the point where diagonal
+        preconditioning has done what it can (the batched analog of the
+        reference's phase switch on the CR iteration trend, reference:
+        src/lp_solver.cc:340-360, min(500, 10+m/20) budget): past it the
+        Newton directions are inexact and per-step progress collapses, so
+        downstream (basis-preconditioned finishes) takes over. Pass
+        handoff=None to always run to convergence/maxiter."""
+        jnp = self.jax.numpy
+        budget = 2 * (self.static["cr_maxiter"]
+                      + self.static["cr64_maxiter"])
         S = self._start_fn(self._ops_tree, 0)
+        prev_cr = int(S["cr"])
+        saturated = 0
         for _ in range(self.maxiter):
             S = self._step_fn(self._ops_tree, S)
-            if bool(self.jax.numpy.all(S["done"])):
+            if bool(jnp.all(S["done"])):
                 break
+            if handoff == "auto":
+                cr = int(S["cr"])
+                saturated = saturated + 1 if cr - prev_cr >= 0.8 * budget \
+                    else 0
+                prev_cr = cr
+                if saturated >= 2:
+                    break
         out = {k: np.asarray(v) for k, v in S.items()}
         out["pobj"] = np.sum(np.asarray(self.cT) * out["X"], axis=0)
         return out
@@ -574,12 +622,15 @@ class BatchedScenarioSolver:
         # shared-basis preconditioned KKT solves (parallel/batch2.py)
         # before the per-scenario finishes. Costs one mean-scenario solve
         # and hands the finishes near-complementary starting points.
-        # "auto" enables it when the per-scenario finishes are expensive
-        # enough to amortize the polish (measured: at small m the warm
-        # starts already give ~2-iteration finishes and the polish is pure
-        # overhead; at large m the finish basis work dominates).
+        # "auto" is OFF (round-5 measurement, tools/batched_finish_bench.py
+        # + docs/PERFORMANCE.md): the shared-basis polish CR runs ~500
+        # iterations per solve once the scenario weights diverge — one
+        # polish step costs as much per scenario as a COMPLETE warm
+        # basis-preconditioned finish (whose own CR takes ~3.5 iters/solve
+        # thanks to per-lane drops + maxvolume). The polish remains opt-in
+        # for narrow batches near the mean scenario.
         if phase2_polish == "auto":
-            phase2_polish = int(data["num_constr"]) >= 5000
+            phase2_polish = False
         self.phase2_polish = bool(phase2_polish)
         m, n = data["num_constr"], data["num_var"]
         self.m, self.n = m, n

@@ -216,9 +216,13 @@ class SharedBasisBatchedCR:
         return out
 
     # -- preconditioned CR with per-scenario freeze -----------------------
-    def solve(self, RHS: np.ndarray, tol: float, maxiter: int = -1
+    def solve(self, RHS: np.ndarray, tol, maxiter: int = -1
               ) -> Tuple[np.ndarray, np.ndarray, int]:
-        """Returns (Y (m,B), converged mask (B,), iters)."""
+        """Returns (Y (m,B), converged mask (B,), iters). tol may be a
+        scalar or a per-scenario (B,) vector (per-lane termination — a
+        single min-tol would force every lane to the tightest lane's
+        target)."""
+        tol = np.asarray(tol)
         m, B = self.m, self.B
         if maxiter < 0:
             maxiter = m + 100
@@ -291,6 +295,15 @@ class SharedBasisBatchedPolish:
         self.cr_maxiter = cr_maxiter
         self.total_cr_iters = 0
         self._use_correction = False
+        # basis refresh machinery: the shared basis must FOLLOW the batch's
+        # weight trajectory (the single-LP phase 2 re-runs maxvolume every
+        # IPM iteration, reference: src/kkt_solver_basis.cc:44-57); a basis
+        # refined for the mean scenario's final weights is a poor
+        # preconditioner at the polish's starting mu and CR maxes out
+        from ..control import Control
+        self._ctrl = Control()
+        self._ctrl.parameters.display = 0
+        self.basis_updates = 0
         # host linear algebra replaces the device SpMV formulation
         ph = self._ph1
         ph._AI_mul = self._AI_mul
@@ -333,11 +346,50 @@ class SharedBasisBatchedPolish:
                     self.basis, np.asarray(W), cr._D2)
             except Exception:
                 cr.correction = None
-        tol_arr = np.asarray(tol)
-        Y, ok, iters = cr.solve(np.asarray(RHS), float(np.min(tol_arr)),
+        Y, ok, iters = cr.solve(np.asarray(RHS), np.asarray(tol),
                                 self.cr_maxiter)
         self.total_cr_iters += iters
         return Y, iters
+
+    def _weights_of(self, S):
+        """Per-scenario KKT weights from a batched state (same formula as
+        BatchedPhase1Solver._ipm_step)."""
+        ph = self._ph1
+        st = ph.static
+        finl = np.asarray(st["finl"])[:, None]
+        finu = np.asarray(st["finu"])[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            G = np.where(finl, S["ZL"] / S["XL"], 0.0) \
+                + np.where(finu, S["ZU"] / S["XU"], 0.0)
+            mu = np.asarray(ph._mu_of(S))
+            pos = np.where(G > 0, G, np.inf)
+            regval = np.minimum(mu, pos.min(axis=0))
+            W = np.where(G > 0, 1.0 / G, 1.0 / regval)
+        return W
+
+    def _refresh_basis(self, S) -> None:
+        """Maxvolume refresh of the shared basis against the batch's
+        central scaling (geometric mean of per-scenario factors over
+        unconverged lanes), then refactorize when the update machinery
+        asks for it. Failures leave the previous basis in place."""
+        from ..basis.maxvolume import Maxvolume
+        try:
+            W = self._weights_of(S)
+            active = ~np.asarray(S["done"])
+            if not active.any():
+                return
+            Wa = np.clip(W[:, active], 1e-150, 1e150)
+            colscale = np.sqrt(np.exp(np.mean(np.log(Wa), axis=1)))
+            mv = Maxvolume(self._ctrl)
+            err = mv.run_heuristic(colscale, self.basis)
+            if err:
+                return
+            self.basis_updates += mv.updates
+            if (not self.basis.factorization_is_fresh
+                    and self.basis.lu.need_fresh_factorization()):
+                self.basis.factorize()
+        except Exception:
+            pass
 
     # -----------------------------------------------------------------------
     def run(self, state):
@@ -355,6 +407,7 @@ class SharedBasisBatchedPolish:
             B = best_mu.shape[0]
             since_improve = np.zeros(B, dtype=np.int64)   # per-lane stall
             for _ in range(self.maxiter):
+                self._refresh_basis(S)
                 S = {k: np.asarray(v) for k, v in ph._ipm_step(S).items()}
                 if bool(np.all(S["done"])):
                     break
