@@ -188,6 +188,14 @@ class BatchedPhase1Solver:
             return normal_apply_batched_tree(self._ops, self.n, W, V)
         return self.nmd.apply_batched(W, V)
 
+    def step_cr_budget(self) -> int:
+        """Max CR trips one IPM step can spend (2 solves; the f32 path
+        adds the f64-finish budget on top of the f32 chunks)."""
+        per_solve = self.static["cr_maxiter"]
+        if self.cr_dtype == "f32":
+            per_solve += self.static["cr64_maxiter"]
+        return 2 * per_solve
+
     def _normal_apply32(self, W32, V32):
         """f32 batched AI W AI' V through the f32 operand trees."""
         from ..ops.spmv import apply_csr_batched_tree
@@ -555,7 +563,7 @@ class BatchedPhase1Solver:
         return apply_csr_batched(self._A2op, W[:self.n]) + W[self.n:]
 
     # ------------------------------------------------------------------
-    def solve(self, handoff="auto"):
+    def solve(self, handoff=None):
         """Runs the batched IPM to convergence, maxiter, or the diag-era
         handoff point. Returns a dict with per-scenario solutions and
         stats (numpy).
@@ -566,11 +574,14 @@ class BatchedPhase1Solver:
         reference's phase switch on the CR iteration trend, reference:
         src/lp_solver.cc:340-360, min(500, 10+m/20) budget): past it the
         Newton directions are inexact and per-step progress collapses, so
-        downstream (basis-preconditioned finishes) takes over. Pass
-        handoff=None to always run to convergence/maxiter."""
+        downstream (basis-preconditioned finishes) takes over. The
+        default (None) always runs to convergence/maxiter — a standalone
+        phase-1 solve at tight tolerances legitimately rides the CR cap
+        on its final steps, which the saturation test cannot distinguish
+        from the diag-era ending; only the pipeline (which has finishes
+        to hand off to) uses 'auto'."""
         jnp = self.jax.numpy
-        budget = 2 * (self.static["cr_maxiter"]
-                      + self.static["cr64_maxiter"])
+        budget = self.step_cr_budget()
         S = self._start_fn(self._ops_tree, 0)
         prev_cr = int(S["cr"])
         saturated = 0
@@ -667,7 +678,7 @@ class BatchedScenarioSolver:
                                   feasibility_tol=self.phase1_tol,
                                   optimality_tol=self.phase1_tol,
                                   maxiter=self.phase1_maxiter)
-        out = ph1.solve()
+        out = ph1.solve(handoff="auto")    # finishes absorb the tail
         if self.phase2_polish:
             out = self._polish(out)
         return self._finish(out)

@@ -49,6 +49,9 @@ def main():
                     "backends)")
     ap.add_argument("--maxsteps", type=int, default=0,
                     help="0 = run to convergence (or 100-iteration cap)")
+    ap.add_argument("--handoff", action="store_true",
+                    help="stop at the diag-era handoff point (the "
+                    "production pipeline rule) instead of convergence")
     args = ap.parse_args()
 
     if args.backend == "host":
@@ -101,6 +104,7 @@ def main():
 
     # ---- timed run from a fresh starting point --------------------------
     maxsteps = args.maxsteps if args.maxsteps > 0 else 100
+    budget = ph1.step_cr_budget()
     t_run0 = time.perf_counter()
     S = ph1._start_fn(ph1._ops_tree, 0)
     bool(jnp.all(S["done"]))
@@ -108,17 +112,32 @@ def main():
     step_times = []
     steps = 0
     converged = False
+    handoff = False
+    prev_cr = int(S["cr"])
+    saturated = 0
     while steps < maxsteps:
         t1 = time.perf_counter()
         S = ph1._step_fn(ph1._ops_tree, S)
         done = bool(jnp.all(S["done"]))     # per-step sync (pipeline does this)
         step_times.append(time.perf_counter() - t1)
         steps += 1
-        print(f"# step {steps}: {step_times[-1]:.2f}s cr={int(S['cr'])}",
+        mu = np.asarray(S["mu"])
+        cr = int(S["cr"])
+        print(f"# step {steps}: {step_times[-1]:.2f}s cr={cr} "
+              f"done={int(np.sum(np.asarray(S['done'])))} "
+              f"mu_med={np.median(mu):.2e} mu_max={mu.max():.2e}",
               file=sys.stderr, flush=True)
         if done:
             converged = True
             break
+        # production handoff rule (BatchedPhase1Solver.solve): stop once
+        # the CR budget saturates twice in a row — the diag era is over
+        if args.handoff:
+            saturated = saturated + 1 if cr - prev_cr >= 0.8 * budget else 0
+            prev_cr = cr
+            if saturated >= 2:
+                handoff = True
+                break
     wall_s = time.perf_counter() - t_run0
     cr_trips = int(S["cr"])
     iters = np.asarray(S["iters"])
@@ -135,6 +154,8 @@ def main():
         "tol": args.tol,
         "steps": steps,
         "converged_all": converged,
+        "handoff": handoff,
+        "mu_med_final": float(np.median(np.asarray(S["mu"]))),
         "done_count": done_count,
         "mean_ipm_iters": round(float(iters.mean()), 2),
         "cr_trips": cr_trips,
@@ -144,6 +165,7 @@ def main():
         "start_s": round(t_start_s, 3),
         "wall_s": round(wall_s, 3),
         "median_step_s": round(med_step, 4),
+        "steps_s": [round(t, 3) for t in step_times[:3]],
         # lane-equivalent CR matvec throughput: each CR trip applies the
         # batched normal matrix over all B scenario lanes
         "cr_matvec_lane_equiv_per_s": round(cr_trips * B / wall_s, 1),
