@@ -144,7 +144,19 @@ class Maxvolume:
         # staircase-90k kkt2 512 -> 1046 — costing more CR time than the
         # solves saved. Slices therefore keep per-slice exact BTRANs, as
         # the reference does; reference: src/maxvolume.cc:155-199.)
+        # Dry-streak early exit: slices interleave one scale-ordered
+        # permutation (slice s takes perm[i], i % num_slices == s), so
+        # they are statistically exchangeable samples of the same
+        # candidate population. Once several consecutive slices produce
+        # (almost) no exchanges, the remaining slices are dry too — but
+        # each would still pay its full BTRAN + weights pass. Measured on
+        # staircase(120,1500): late refreshes spend 14 slices on 0-2
+        # total updates; the exit recovers that time with no observed
+        # kkt2 change. (Distinct from the round-3 grouped-BTRAN dead end:
+        # no weights go stale — we only stop scanning.)
+        dry_streak = 0
         for s in range(num_slices):
+            upd0 = self.updates
             tblrow_used = np.zeros(m, dtype=bool)
             tblrow_used[perm[np.arange(m) % num_slices == s]] = True
             if native is not None:
@@ -154,6 +166,9 @@ class Maxvolume:
                 errflag = self._driver(basis, cs, invscale_basic,
                                        tblrow_used)
             if errflag:
+                break
+            dry_streak = dry_streak + 1 if self.updates - upd0 <= 1 else 0
+            if dry_streak >= 3 and s >= 4:
                 break
 
         self.time = perf_counter() - t0
