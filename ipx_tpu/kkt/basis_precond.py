@@ -104,20 +104,39 @@ class KKTSolverBasis(KKTSolver):
             if info.errflag:
                 return
 
-        maxvol = Maxvolume(self.control, volume_tol=self._vt)
-        if self.control.parameters.update_heuristic == 0:
-            info.errflag = maxvol.run_sequential(self.colscale, self.basis)
+        # Refresh-skip: when the previous refresh was nearly dry AND CR
+        # stayed cheap, the basis is still volume-good for the drifted
+        # weights — skip at most every other refresh (the scaling D2 is
+        # rebuilt from the CURRENT iterate either way via
+        # splitted.prepare, so only candidate scanning is saved). No
+        # reference counterpart (the reference refreshes uncondition-
+        # ally, src/kkt_solver_basis.cc:44-57).
+        m = self.model.num_rows
+        dry = (getattr(self, "_prev_mv_updates", 1 << 30)
+               <= max(4, m // 50000)
+               and prev_iters and prev_iters < 40
+               and not getattr(self, "_skipped_last", False))
+        if dry:
+            self._skipped_last = True
         else:
-            info.errflag = maxvol.run_heuristic(self.colscale, self.basis)
-        info.updates_ipm += maxvol.updates
-        info.time_maxvol += maxvol.time
-        info.maxvol_updates += maxvol.updates
-        info.maxvol_skipped += maxvol.skipped
-        info.maxvol_passes += max(maxvol.passes, 0)
-        info.volume_increase += maxvol.volinc
-        self.changes += maxvol.updates
-        if info.errflag:
-            return
+            self._skipped_last = False
+            maxvol = Maxvolume(self.control, volume_tol=self._vt)
+            if self.control.parameters.update_heuristic == 0:
+                info.errflag = maxvol.run_sequential(self.colscale,
+                                                     self.basis)
+            else:
+                info.errflag = maxvol.run_heuristic(self.colscale,
+                                                    self.basis)
+            info.updates_ipm += maxvol.updates
+            info.time_maxvol += maxvol.time
+            info.maxvol_updates += maxvol.updates
+            info.maxvol_skipped += maxvol.skipped
+            info.maxvol_passes += max(maxvol.passes, 0)
+            info.volume_increase += maxvol.volinc
+            self.changes += maxvol.updates
+            self._prev_mv_updates = maxvol.updates
+            if info.errflag:
+                return
 
         # Refactorize only when cost-driven: the splitted operator runs
         # through the eta-aware FTRAN/BTRAN, so (unlike the reference, which
