@@ -2,24 +2,28 @@
 
 Pipeline (SURVEY §2.3 data-parallel analog; no reference counterpart):
   1. batched phase-1 IPM over all scenarios at once (one jitted
-     predictor-corrector program, per-scenario convergence masks),
-  2. shared-basis batched phase-2 polish (parallel/batch2.py),
-  3. per-scenario warm-started finishes to vertex (basic) solutions.
+     predictor-corrector program, per-scenario convergence masks,
+     diag-era handoff),
+  2. per-scenario warm-started finishes to vertex (basic) solutions
+     (shared mean-scenario starting basis).
 
-Each finished objective is cross-checked against an independent direct
-solve for a sample of scenarios. Run:
+The round-4 version inserted a shared-basis batched polish between the
+stages; round-5 measurements showed it costs more per scenario than the
+finishes it saves (docs/PERFORMANCE.md), and dropping it made this
+example 11.9x faster end to end. Each finished objective is
+cross-checked against an independent direct solve for a sample. Run:
 
     JAX_PLATFORMS=cpu python examples/batch_scenarios_1000.py
 
-Measured on the 2-core dev host (CPU backend; the batched phases are the
-TPU-resident part of the design):
+Measured on the 2-core dev host (CPU backend; the batched phase is the
+TPU-resident part of the design — on the real chip it runs 16.5x the
+host at m=20k/B=256, docs/DEVICE_r05.md):
 
-    1024 scenarios in 296.3s (289 ms/scenario incl. batched phases;
-    round 4, CPU backend — the batched phases also compile and run on
-    the real TPU attachment, docs/DEVICE_r04.md)
+    1024 scenarios in 24.9s (24 ms/scenario incl. batched phase;
+    round 5 — round 4 with the polish was 296.3s / 289 ms/scenario)
     statuses: 1024/1024 solved, 1024/1024 optimal verdicts
-    finish IPM iterations: mean 1.40, p90 1 (shared mean-scenario basis)
-    sampled objective check vs direct solves: max rel diff 2.17e-12
+    finish IPM iterations: mean 4.11, p90 5, max 7
+    sampled objective check vs direct solves: max rel diff 5.26e-11
 """
 import os
 import sys
@@ -64,14 +68,16 @@ def main():
     # the demo runs it to a loose tolerance and lets the warm-started
     # finishes close the gap. On real accelerators deepen it
     # (phase1_tol=1e-4 default) and the finishes become trivial.
+    # phase2_polish stays OFF (round-5 default): the shared-basis polish
+    # costs more per scenario than the per-lane finishes it would save
+    # (measured, docs/PERFORMANCE.md round-5 section)
     solver = BatchedScenarioSolver(data, b_batch, phase1_tol=3e-3,
-                                   phase1_maxiter=12,
-                                   phase2_polish=True)
+                                   phase1_maxiter=12)
     from ipx_tpu.parallel.batch import BatchedPhase1Solver
     ph1 = BatchedPhase1Solver(solver.blp, feasibility_tol=solver.phase1_tol,
                               optimality_tol=solver.phase1_tol,
                               maxiter=solver.phase1_maxiter)
-    out = ph1.solve()
+    out = ph1.solve(handoff="auto")
     t1 = time.perf_counter()
     print(f"batched phase 1: {t1 - t0:.1f}s "
           f"(converged {int(np.asarray(out['done']).sum())}/{B} at tol "

@@ -227,6 +227,15 @@ class SharedBasisBatchedCR:
         if maxiter < 0:
             maxiter = m + 100
         RHS = np.asarray(RHS, dtype=np.float64)
+        # a lane can overflow on the very iteration its recurrence breaks
+        # down; the nonfinite-cdot guard freezes it on the next test, so
+        # the transient overflow is by-design and must not warn
+        with np.errstate(over="ignore", invalid="ignore",
+                         divide="ignore"):
+            return self._solve_loop(RHS, tol, maxiter)
+
+    def _solve_loop(self, RHS, tol, maxiter):
+        m, B = self.m, self.B
         Y = np.zeros((m, B))
         R = RHS.copy()
         S = self._precond_apply(R)

@@ -164,3 +164,98 @@ def test_scenario_solver_with_polish_enabled():
         assert res[k][0] == 1000
         assert abs(res[k][1].objval - res_ref[k][1].objval) \
             <= 1e-6 * max(1.0, abs(res_ref[k][1].objval)), k
+
+
+def test_low_rank_correction_kills_injected_outliers():
+    """SharedBasisLowRank mechanism test: inflating a few nonbasic
+    weights creates outlier eigenvalues the shared-basis preconditioner
+    misses; the per-scenario Woodbury correction must restore fast CR
+    convergence on exactly that system."""
+    from ipx_tpu.parallel.batch2 import (SharedBasisBatchedCR,
+                                         SharedBasisLowRank)
+
+    data = transportation(100, 150, 0.04, seed=3)
+    p = Parameters()
+    p.display = 0
+    p.device = "cpu"
+    p.scale = 0
+    p.dualize = 0
+    p.crossover = 0
+    s = LpSolver(p)
+    assert load_into_solver(data, s) == 0
+    assert s.solve() == 1000
+    basis = s.basis
+    if not basis.factorization_is_fresh:
+        assert basis.factorize() == 0
+    md = basis.model
+    m, n = md.num_rows, md.num_cols
+
+    it = s.iterate
+    with np.errstate(divide="ignore"):
+        g = np.where(it.barrier_lb_mask, it.zl / it.xl, 0.0) \
+            + np.where(it.barrier_ub_mask, it.zu / it.xu, 0.0)
+    nz = g[g != 0.0]
+    regval = min(it.mu(), float(nz.min()) if nz.size else it.mu())
+    W = np.where(g > 0, 1.0 / g, 1.0 / regval)
+
+    # inject outliers: push a few nonbasic structural weights ABOVE the
+    # basic range (at an optimal iterate nonbasic weights are ~1e-12, so
+    # a multiplicative bump would stay harmless — and the correction
+    # should correctly ignore harmless columns)
+    nb = np.setdiff1d(np.arange(n), basis.basis[basis.basis < n])
+    rng = np.random.default_rng(0)
+    bad = rng.choice(nb, size=4, replace=False)
+    W = W.copy()
+    W[bad] = 10.0 * W[np.asarray(basis.basis)].max()
+
+    W2 = W[:, None]
+    resscale = 1.0 / np.sqrt(W2[n:])
+    rhs = rng.standard_normal((m, 1))
+
+    base = SharedBasisBatchedCR(basis, W2, resscale)
+    _, ok0, it0 = base.solve(rhs, 1e-8, 500)
+
+    corr = SharedBasisBatchedCR(basis, W2, resscale)
+    corr.correction = SharedBasisLowRank(basis, W2, corr._D2)
+    Y, ok1, it1 = corr.solve(rhs, 1e-8, 500)
+    assert corr.correction.active
+    # the corrected solve must be much faster AND still correct
+    assert it1 * 2 <= max(it0, 10), (it0, it1)
+    A = md.A
+    res = rhs[:, 0] - (A @ (W[:n] * (A.T @ Y[:, 0])) + W[n:] * Y[:, 0])
+    # the injected weights span ~1e12, so the attainable scaled residual
+    # floor is eps*cond ~ 1e-4; check against a meaningful bound
+    assert np.max(np.abs(resscale[:, 0] * res)) <= 1e-3 * np.abs(rhs).max()
+
+
+def test_phase1_handoff_stops_at_cr_saturation():
+    """solve(handoff='auto') must stop once the batched CR saturates its
+    budget on consecutive steps (the diag-era end), while the default
+    runs to maxiter; the production pipeline relies on this split."""
+    import scipy.sparse as sp
+    from ipx_tpu.parallel.batch import BatchedLp, BatchedPhase1Solver
+
+    data = transportation(60, 90, 0.05, seed=2)
+    m, n = data["num_constr"], data["num_var"]
+    A = sp.csc_matrix((data["Ax"], data["Ai"], data["Ap"]), shape=(m, n))
+    ct = np.asarray(list(data["constr_type"]))
+    lb = np.concatenate([data["lb"], np.where(ct == ">", -np.inf, 0.0)])
+    ub = np.concatenate([data["ub"], np.where(ct == "<", np.inf, 0.0)])
+    rng = np.random.default_rng(1)
+    B = 4
+    b_batch = data["rhs"][None, :] * rng.uniform(0.97, 1.03, size=(B, m))
+    c = np.zeros((B, n + m))
+    c[:, :n] = data["obj"]
+    blp = BatchedLp(A=A, b=b_batch, c=c, lb=lb, ub=ub)
+
+    # starved CR budget: every step saturates, so 'auto' must hand off
+    # after ~2 steps while the default grinds to maxiter
+    kw = dict(feasibility_tol=1e-10, optimality_tol=1e-12, maxiter=8,
+              cr_maxiter=4, cr64_maxiter=2)
+    auto_iters = int(np.asarray(
+        BatchedPhase1Solver(blp, **kw).solve(handoff="auto")["iters"]
+    ).max())
+    full_iters = int(np.asarray(
+        BatchedPhase1Solver(blp, **kw).solve()["iters"]).max())
+    assert auto_iters <= 3
+    assert full_iters == 8
