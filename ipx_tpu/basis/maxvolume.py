@@ -155,7 +155,9 @@ class Maxvolume:
         # kkt2 change. (Distinct from the round-3 grouped-BTRAN dead end:
         # no weights go stale — we only stop scanning.)
         dry_streak = 0
+        self.slices_visited = 0
         for s in range(num_slices):
+            self.slices_visited += 1
             upd0 = self.updates
             tblrow_used = np.zeros(m, dtype=bool)
             tblrow_used[perm[np.arange(m) % num_slices == s]] = True
