@@ -26,6 +26,9 @@ sys.path.insert(0, REPO)
 
 def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "device"
+    src = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
+    snk = int(sys.argv[3]) if len(sys.argv) > 3 else 12000
+    dens = float(sys.argv[4]) if len(sys.argv) > 4 else 0.001
     if backend == "host":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ.setdefault("JAX_ENABLE_X64", "1")
@@ -42,7 +45,7 @@ def main():
     from ipx_tpu import LpSolver, Parameters
     from ipx_tpu.testgen import transportation, load_into_solver
 
-    data = transportation(8000, 12000, 0.001, 1)
+    data = transportation(src, snk, dens, 1)
     p = Parameters()
     p.display = 0
     p.device = "cpu"
